@@ -1,0 +1,231 @@
+"""Typed configuration layer.
+
+The reference configures everything through module-level constants edited
+in-file (reference main.py:19-67, preprocess.py:12-28, preprocess_check.py:11-26)
+and passes a nested dict to its Trainer (main.py:119-121 -> trainer.py:61-65).
+Here those contracts become frozen dataclasses with CLI/YAML overrides and a
+config echo serialized into every run directory (preserving the reference's
+cv_summary.txt config dump, main.py:131-150).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+ALL_SUBJECTS = tuple(f"S{i}" for i in range(2, 18) if i != 12)
+
+# Chest channel layout written by preprocessing (reference preprocess.py:128-129).
+CHEST_SENSORS = ("ACC", "ECG", "EDA", "EMG", "Resp", "Temp")
+ALL_CHANNEL_NAMES = tuple(
+    [f"chest_ACC_{ax}" for ax in "xyz"]
+    + [f"chest_{c}" for c in ("ECG", "EDA", "EMG", "Resp", "Temp")]
+)
+
+# Raw WESAD protocol task -> original label (reference preprocess.py:28).
+TASK_TO_LABEL_MAP = {"Base": 1, "TSST": 2, "Fun": 3, "Medi1": 4, "Medi2": 4}
+
+# Classification modes (reference dataset.py:29-34 plus the `amusement_binary`
+# mode main.py:195 requires but the reference dataset never implemented).
+CLASSIFICATION_MODES = ("stress_binary", "ternary", "amusement_binary")
+
+
+@dataclass(frozen=True)
+class PreprocessConfig:
+    """Mirrors reference preprocess.py:12-28."""
+
+    wesad_root: str = "./WESAD"
+    output_path: str = "./data"
+    original_chest_fs: int = 700
+    targets: tuple[str, ...] = ("raw", "raw-align", "feature")
+    raw_fs: int = 128
+    raw_window_sec: int = 60
+    raw_stride_sec: int = 10
+    feature_fs: int = 128
+    feature_window_sec: int = 60
+    feature_stride_sec: int = 10
+    subjects: tuple[str, ...] = ALL_SUBJECTS
+
+    @property
+    def raw_window_samples(self) -> int:
+        return self.raw_window_sec * self.raw_fs
+
+    @property
+    def raw_stride_samples(self) -> int:
+        return self.raw_stride_sec * self.raw_fs
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Mirrors reference MODEL_PARAMS (main.py:48-55) + models.py defaults."""
+
+    name: str = "cnn_gru_attention"  # or "cnn_gru" (no channel attention)
+    cnn_out_channels: int = 32
+    gru_hidden_size: int = 64
+    gru_num_layers: int = 2
+    dropout: float = 0.5
+    reduction_ratio: int = 4  # ChannelAttention squeeze factor (models.py:12)
+    gru_impl: str = "scan"  # "scan" (lax.scan) | "pallas" (fused kernel)
+
+
+@dataclass(frozen=True)
+class EarlyStoppingConfig:
+    """Mirrors reference trainer.py:12-39 / main.py:120.
+
+    The reference has inverted semantics: its comparison assumes
+    higher-is-better (trainer.py:27) but is fed raw val_loss (trainer.py:178),
+    so "improvement" means the loss went UP. We default to the fixed
+    min-val-loss behaviour; set ``legacy_inverted=True`` to replicate the
+    reference bit-for-bit.
+    """
+
+    enabled: bool = True
+    patience: int = 20
+    delta: float = 0.0
+    legacy_inverted: bool = False
+
+
+@dataclass(frozen=True)
+class TrainerConfig:
+    """Mirrors reference main.py:60-66 + trainer.py:61-77."""
+
+    epochs: int = 100
+    batch_size: int = 64
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-4
+    early_stopping: EarlyStoppingConfig = field(default_factory=EarlyStoppingConfig)
+    # ReduceLROnPlateau (reference trainer.py:72-77, torch defaults).
+    lr_plateau_factor: float = 0.1
+    lr_plateau_patience: int = 3
+    lr_plateau_threshold: float = 1e-4
+    use_class_weights: bool = False  # reference's branch is dead code (trainer.py:81)
+    # Reference reloads best weights only when early stop fired (trainer.py:185);
+    # we always restore the best checkpoint unless this replicates the quirk.
+    legacy_restore_only_on_early_stop: bool = False
+    compute_dtype: str = "float32"  # "float32" | "bfloat16"
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    """Mirrors reference main.py:19-67."""
+
+    run_name: str = "simple_binary"
+    classification_mode: str = "stress_binary"
+    num_classes: int = 2
+    channels_to_use: tuple[str, ...] = ("chest_ECG", "chest_EDA", "chest_Resp")
+    data_path: str = "./data/chest_raw"
+    output_dir: str = "./output"
+    seed: int = 42
+    subjects: tuple[str, ...] = ALL_SUBJECTS
+    val_fraction: float = 0.2
+    model: ModelConfig = field(default_factory=ModelConfig)
+    trainer: TrainerConfig = field(default_factory=TrainerConfig)
+    # Normalization scheme: "all" = per-subject z-score over all windows with
+    # EDA log1p (reference dataset.py:37-48); "baseline" = stats from Base-only
+    # windows with all-data fallback (reference void/dataset.py:30-55).
+    normalization: str = "all"
+    # Fold execution: "serial" python loop (reference main.py:98) or "sharded"
+    # — all folds as one vmapped computation over a `fold` mesh axis.
+    fold_execution: str = "sharded"
+
+    def __post_init__(self):
+        if self.classification_mode not in CLASSIFICATION_MODES:
+            raise ValueError(
+                f"Unknown classification_mode: {self.classification_mode!r}; "
+                f"expected one of {CLASSIFICATION_MODES}"
+            )
+
+
+@dataclass(frozen=True)
+class HierarchicalConfig:
+    """Mirrors reference main.py:22-40 (two-stage ternary classifier)."""
+
+    run_name: str = "hierarchical_binary"
+    m1_channels: tuple[str, ...] = ("chest_ECG", "chest_EDA", "chest_Resp")
+    m1_model: ModelConfig = field(default_factory=ModelConfig)
+    m2_channels: tuple[str, ...] = ("chest_ECG", "chest_EDA", "chest_Resp")
+    m2_model: ModelConfig = field(
+        default_factory=lambda: ModelConfig(gru_hidden_size=32, gru_num_layers=1)
+    )
+    base: ExperimentConfig = field(default_factory=ExperimentConfig)
+
+
+def _to_jsonable(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        return {f.name: _to_jsonable(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+    if isinstance(obj, (list, tuple)):
+        return [_to_jsonable(v) for v in obj]
+    if isinstance(obj, Path):
+        return str(obj)
+    return obj
+
+
+def config_to_dict(cfg: Any) -> dict:
+    return _to_jsonable(cfg)
+
+
+def save_config(cfg: Any, path: Path | str) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(json.dumps(config_to_dict(cfg), indent=2) + "\n")
+
+
+def _from_dict(cls, data: dict):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        v = data[f.name]
+        ftype = f.type if isinstance(f.type, type) else None
+        if dataclasses.is_dataclass(ftype) and isinstance(v, dict):
+            v = _from_dict(ftype, v)
+        elif isinstance(v, list):
+            v = tuple(v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+_NESTED = {
+    "model": ModelConfig,
+    "trainer": TrainerConfig,
+    "early_stopping": EarlyStoppingConfig,
+    "base": ExperimentConfig,
+    "m1_model": ModelConfig,
+    "m2_model": ModelConfig,
+}
+
+
+def config_from_dict(cls, data: dict):
+    """Rebuild a (possibly nested) config dataclass from a plain dict."""
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        v = data[f.name]
+        if f.name in _NESTED and isinstance(v, dict):
+            v = config_from_dict(_NESTED[f.name], v)
+        elif isinstance(v, list):
+            v = tuple(v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def apply_overrides(cfg, overrides: dict[str, Any]):
+    """Apply dotted-path overrides, e.g. {"trainer.learning_rate": 3e-4}."""
+    for key, value in overrides.items():
+        parts = key.split(".")
+        cfg = _replace_path(cfg, parts, value)
+    return cfg
+
+
+def _replace_path(cfg, parts, value):
+    if len(parts) == 1:
+        current = getattr(cfg, parts[0])
+        if isinstance(current, tuple) and isinstance(value, (list, tuple)):
+            value = tuple(value)
+        return dataclasses.replace(cfg, **{parts[0]: value})
+    child = getattr(cfg, parts[0])
+    return dataclasses.replace(cfg, **{parts[0]: _replace_path(child, parts[1:], value)})

@@ -1,0 +1,129 @@
+"""Synthetic WESAD-shaped fixtures.
+
+The real WESAD corpus is a manual download (reference README.md:27-31), so the
+test/CI story needs a generator that fabricates S*/S*.pkl + S*_quest.csv files
+with the exact layout the loaders expect (byte-keyed pickle dict with chest
+channels ACC [T,3] and ECG/EDA/EMG/Resp/Temp [T,1] at 700 Hz, ';'-separated
+quest CSV with # ORDER/# START/# END rows).
+
+Signals are label-dependent (heart rate, EDA tonic level, respiration rate and
+EMG amplitude all shift with the protocol condition) so end-to-end tests can
+actually learn the classification task rather than fit noise.
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+
+import numpy as np
+
+DEFAULT_TASKS = (
+    ("Base", 3.0),
+    ("TSST", 2.0),
+    ("Medi 1", 1.0),
+    ("Fun", 1.5),
+    ("Medi 2", 1.0),
+)
+
+# Per-condition physiology used to synthesize separable signals.
+_CONDITION = {
+    "Base": dict(hr=65.0, eda=2.0, resp=14.0, emg=0.02),
+    "TSST": dict(hr=95.0, eda=6.0, resp=22.0, emg=0.12),
+    "Fun": dict(hr=78.0, eda=3.5, resp=17.0, emg=0.05),
+    "Medi1": dict(hr=60.0, eda=1.5, resp=11.0, emg=0.015),
+    "Medi2": dict(hr=58.0, eda=1.4, resp=10.0, emg=0.015),
+}
+
+
+def _ecg_like(t: np.ndarray, hr_hz: float, rng: np.random.Generator) -> np.ndarray:
+    """Spiky pseudo-ECG: narrow gaussian R peaks on a jittered beat grid."""
+    phase = (t * hr_hz + rng.uniform(0, 1)) % 1.0
+    r_wave = np.exp(-((phase - 0.5) ** 2) / (2 * 0.003))
+    t_wave = 0.25 * np.exp(-((phase - 0.75) ** 2) / (2 * 0.01))
+    return 0.9 * r_wave + t_wave + 0.02 * rng.standard_normal(t.shape)
+
+
+def synthesize_subject(
+    subject_id: str,
+    tasks=DEFAULT_TASKS,
+    fs: int = 700,
+    seed: int | None = None,
+) -> tuple[dict, str]:
+    """Build one subject: (pickle-ready dict, quest CSV text)."""
+    if seed is None:
+        seed = abs(hash(subject_id)) % (2**31)
+    rng = np.random.default_rng(seed)
+    # Subject-specific physiological offsets: makes the per-subject
+    # normalization in the dataset layer load-bearing, like real WESAD.
+    hr_off = rng.uniform(-8, 8)
+    eda_off = rng.uniform(0.5, 2.0)
+
+    segments = {k: [] for k in ("ACC", "ECG", "EDA", "EMG", "Resp", "Temp")}
+    order, starts, ends = [], [], []
+    cursor_min = 0.0
+    for task, dur_min in tasks:
+        key = task.replace(" ", "").strip()
+        cond = _CONDITION.get(key, _CONDITION["Base"])
+        n = int(dur_min * 60 * fs)
+        t = np.arange(n) / fs
+        hr_hz = (cond["hr"] + hr_off + rng.uniform(-2, 2)) / 60.0
+        ecg = _ecg_like(t, hr_hz, rng)
+        scr_events = rng.poisson(max(cond["eda"] - 1.0, 0.2) * dur_min)
+        eda = np.full(n, cond["eda"] * eda_off) + 0.1 * np.sin(2 * np.pi * 0.01 * t)
+        for _ in range(scr_events):
+            onset = rng.integers(0, max(n - fs, 1))
+            tau = rng.uniform(1.0, 4.0) * fs
+            rise = np.clip(np.arange(n) - onset, 0, None)
+            eda += 0.4 * (rise / tau) * np.exp(1 - rise / tau)
+        eda += 0.01 * rng.standard_normal(n)
+        resp = np.sin(2 * np.pi * cond["resp"] / 60.0 * t) + 0.05 * rng.standard_normal(n)
+        emg = cond["emg"] * rng.standard_normal(n)
+        temp = 34.0 + 0.2 * np.sin(2 * np.pi * 0.001 * t) + 0.01 * rng.standard_normal(n)
+        acc = 0.1 * rng.standard_normal((n, 3)) + np.array([0.0, 0.0, 1.0])
+
+        segments["ACC"].append(acc)
+        segments["ECG"].append(ecg[:, None])
+        segments["EDA"].append(eda[:, None])
+        segments["EMG"].append(emg[:, None])
+        segments["Resp"].append(resp[:, None])
+        segments["Temp"].append(temp[:, None])
+        order.append(task)
+        starts.append(cursor_min)
+        ends.append(cursor_min + dur_min)
+        cursor_min += dur_min
+
+    chest = {
+        k.encode(): np.concatenate(v, axis=0).astype(np.float64)
+        for k, v in segments.items()
+    }
+    data = {
+        b"signal": {b"chest": chest},
+        b"subject": subject_id.encode(),
+    }
+    fmt = lambda xs: ";".join(str(v) for v in xs)
+    quest_csv = (
+        f"# ORDER;{fmt(order)}\n"
+        f"# START;{fmt(starts)}\n"
+        f"# END;{fmt(ends)}\n"
+    )
+    return data, quest_csv
+
+
+def write_synthetic_wesad(
+    root: Path | str,
+    subjects: list[str],
+    tasks=DEFAULT_TASKS,
+    fs: int = 700,
+    seed: int = 0,
+) -> Path:
+    """Write a synthetic WESAD tree: root/S*/S*.pkl + root/S*/S*_quest.csv."""
+    root = Path(root)
+    for i, sid in enumerate(subjects):
+        data, quest = synthesize_subject(sid, tasks=tasks, fs=fs, seed=seed + i)
+        subj_dir = root / sid
+        subj_dir.mkdir(parents=True, exist_ok=True)
+        with open(subj_dir / f"{sid}.pkl", "wb") as f:
+            pickle.dump(data, f)
+        (subj_dir / f"{sid}_quest.csv").write_text(quest)
+    return root
