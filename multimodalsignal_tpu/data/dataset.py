@@ -1,0 +1,233 @@
+"""Dataset layer: windowed npy files -> dense, normalized device arrays.
+
+Parity targets:
+  * reference dataset.py:8-65 (`WesadDataset`): per-subject channel selection,
+    label mapping, per-subject z-score over all windows with a log1p transform
+    for chest_EDA, concatenation across subjects, (C, T) sample layout.
+  * reference void/dataset.py:30-55: baseline-referenced normalization
+    (stats from Base-only windows, all-data fallback).
+  * reference void/dataset.py:161-171: feature-vector baseline z-score
+    (std + 1e-3).
+  * the `amusement_binary` mode reference main.py:195 requires but
+    dataset.py:34 raises on — implemented first-class here: keep only
+    Base/Fun windows, Base->0, Fun->1 (SURVEY.md §3.4).
+
+There is no DataLoader: the whole LOSO corpus is small enough for HBM, so
+datasets are plain [N, C, T] float arrays plus labels, and the packed
+[S, Wmax, ...] form (`PackedCorpus`) feeds the vmapped/sharded fold sweep with
+padding masks for ragged per-subject window counts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+EDA_CHANNEL = "chest_EDA"
+NORMALIZATION_SCHEMES = ("all", "baseline", "none")
+
+
+def read_channel_names(data_path: Path | str) -> list[str]:
+    """Read the _channel_names.txt contract (reference main.py:81-82)."""
+    with open(Path(data_path) / "_channel_names.txt") as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def load_subject_windows(data_path: Path | str, sid: str):
+    """Load one subject's (X [N, T, C_all], y_raw [N]) or None if missing
+    (reference dataset.py:20-22 warns and skips)."""
+    data_path = Path(data_path)
+    x_file = data_path / f"{sid}_X.npy"
+    y_file = data_path / f"{sid}_y.npy"
+    if not x_file.exists() or not y_file.exists():
+        print(f"Warning: Skipping subject {sid} for data, file not found.")
+        return None
+    return np.load(x_file), np.load(y_file)
+
+
+def map_labels(y_raw: np.ndarray, mode: str) -> tuple[np.ndarray, np.ndarray]:
+    """Map original labels {1:Base,2:TSST,3:Fun,4:Medi} per classification mode.
+
+    Returns (y_mapped, keep_mask). For stress_binary/ternary every window is
+    kept (reference dataset.py:29-32); amusement_binary keeps only Base/Fun.
+    """
+    if mode == "stress_binary":
+        return np.where(y_raw == 2, 1, 0).astype(np.int32), np.ones(len(y_raw), bool)
+    if mode == "ternary":
+        y = np.where(y_raw == 1, 0, np.where(y_raw == 3, 1, np.where(y_raw == 2, 2, 0)))
+        return y.astype(np.int32), np.ones(len(y_raw), bool)
+    if mode == "amusement_binary":
+        keep = np.isin(y_raw, (1, 3))
+        return np.where(y_raw == 3, 1, 0).astype(np.int32), keep
+    raise ValueError(f"Unknown classification_mode: {mode}")
+
+
+def normalize_subject(
+    x: np.ndarray,
+    y_raw: np.ndarray,
+    channel_names: list[str],
+    scheme: str = "all",
+) -> np.ndarray:
+    """Per-subject normalization of [N, T, C] windows (float64 stats).
+
+    scheme="all":      z-score per channel over all windows; chest_EDA gets
+                       log1p first and its own log-domain stats
+                       (reference dataset.py:37-48, eps 1e-8).
+    scheme="baseline": stats from Base-only (y_raw==1) windows with all-data
+                       fallback when a subject has no Base windows
+                       (reference void/dataset.py:30-55).
+    scheme="none":     passthrough (for pre-normalized or synthetic data).
+    """
+    if scheme == "none":
+        return x.astype(np.float32)
+    if scheme not in NORMALIZATION_SCHEMES:
+        raise ValueError(f"Unknown normalization scheme: {scheme}")
+    x = np.asarray(x, dtype=np.float64)
+    out = np.empty_like(x, dtype=np.float32)
+    if scheme == "baseline":
+        ref = x[y_raw == 1] if (y_raw == 1).any() else x
+        if not (y_raw == 1).any():
+            print("Warning: no baseline windows; falling back to all-data stats.")
+    else:
+        ref = x
+    for c, name in enumerate(channel_names):
+        if name == EDA_CHANNEL:
+            log_all = np.log1p(x[:, :, c])
+            log_ref = np.log1p(ref[:, :, c])
+            mean, std = log_ref.mean(), log_ref.std() + 1e-8
+            out[:, :, c] = ((log_all - mean) / std).astype(np.float32)
+        else:
+            mean, std = ref[:, :, c].mean(), ref[:, :, c].std() + 1e-8
+            out[:, :, c] = ((x[:, :, c] - mean) / std).astype(np.float32)
+    return out
+
+
+def normalize_features(
+    x_feat: np.ndarray, y_raw: np.ndarray, scheme: str = "baseline"
+) -> np.ndarray:
+    """Feature-vector [N, F] normalization (reference void/dataset.py:161-171,
+    eps 1e-3, baseline-referenced with all-data fallback)."""
+    x_feat = np.asarray(x_feat, dtype=np.float64)
+    if scheme == "none":
+        return x_feat.astype(np.float32)
+    ref = x_feat[y_raw == 1] if (scheme == "baseline" and (y_raw == 1).any()) else x_feat
+    mean = ref.mean(axis=0)
+    std = ref.std(axis=0) + 1e-3
+    return ((x_feat - mean) / std).astype(np.float32)
+
+
+@dataclass
+class WindowDataset:
+    """Dense dataset: x [N, C, T] float32 (channels-first, matching the model
+    input and the reference's __getitem__ permute, dataset.py:63), y [N] int32."""
+
+    x: np.ndarray
+    y: np.ndarray
+    subjects: tuple[str, ...]
+
+    def __len__(self) -> int:
+        return len(self.y)
+
+
+def build_dataset(
+    data_path: Path | str,
+    subjects: list[str],
+    channels_to_use: list[str],
+    all_channel_names: list[str],
+    classification_mode: str = "stress_binary",
+    normalization: str = "all",
+) -> WindowDataset:
+    """Functional equivalent of constructing the reference WesadDataset."""
+    channel_indices = [all_channel_names.index(ch) for ch in channels_to_use]
+    xs, ys, loaded = [], [], []
+    for sid in subjects:
+        item = load_subject_windows(data_path, sid)
+        if item is None:
+            continue
+        x_raw, y_raw = item
+        x_sel = x_raw[:, :, channel_indices]
+        y, keep = map_labels(y_raw, classification_mode)
+        x_norm = normalize_subject(x_sel, y_raw, channels_to_use, normalization)
+        xs.append(x_norm[keep])
+        ys.append(y[keep])
+        loaded.append(sid)
+    if not xs:
+        raise ValueError(
+            f"No data loaded for subjects: {subjects}. Check paths and data existence."
+        )
+    x = np.concatenate(xs, axis=0).transpose(0, 2, 1)  # [N, C, T]
+    y = np.concatenate(ys, axis=0)
+    return WindowDataset(np.ascontiguousarray(x), y, tuple(loaded))
+
+
+@dataclass
+class PackedCorpus:
+    """All subjects padded to a common window count for the sharded fold sweep.
+
+    x    [S, Wmax, C, T] float32, normalized per subject
+    y    [S, Wmax] int32 (mapped labels; padded rows hold 0)
+    mask [S, Wmax] bool (True = real window surviving the mode's keep filter)
+    """
+
+    x: np.ndarray
+    y: np.ndarray
+    mask: np.ndarray
+    subjects: tuple[str, ...]
+
+    @property
+    def num_subjects(self) -> int:
+        return self.x.shape[0]
+
+    def flat(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Flattened [S*Wmax, C, T] view plus labels and mask, for fold-level
+        gather indexing (subject s, window w -> s * Wmax + w)."""
+        s, wmax = self.x.shape[:2]
+        return (
+            self.x.reshape(s * wmax, *self.x.shape[2:]),
+            self.y.reshape(s * wmax),
+            self.mask.reshape(s * wmax),
+        )
+
+
+def pack_corpus(
+    data_path: Path | str,
+    subjects: list[str],
+    channels_to_use: list[str],
+    all_channel_names: list[str],
+    classification_mode: str = "stress_binary",
+    normalization: str = "all",
+) -> PackedCorpus:
+    """Load + normalize every subject once and pad to [S, Wmax, C, T].
+
+    Normalization is strictly per subject (reference dataset.py:37-48), so
+    stats never leak across folds — one packed corpus serves all LOSO folds.
+    """
+    channel_indices = [all_channel_names.index(ch) for ch in channels_to_use]
+    per_subject = []
+    for sid in subjects:
+        item = load_subject_windows(data_path, sid)
+        if item is None:
+            continue
+        x_raw, y_raw = item
+        x_sel = x_raw[:, :, channel_indices]
+        y, keep = map_labels(y_raw, classification_mode)
+        x_norm = normalize_subject(x_sel, y_raw, channels_to_use, normalization)
+        per_subject.append((sid, x_norm[keep].transpose(0, 2, 1), y[keep]))
+    if not per_subject:
+        raise ValueError(f"No data loaded for subjects: {subjects}.")
+    wmax = max(x.shape[0] for _, x, _ in per_subject)
+    s = len(per_subject)
+    c, t = per_subject[0][1].shape[1:]
+    x_out = np.zeros((s, wmax, c, t), dtype=np.float32)
+    y_out = np.zeros((s, wmax), dtype=np.int32)
+    mask = np.zeros((s, wmax), dtype=bool)
+    sids = []
+    for i, (sid, x, y) in enumerate(per_subject):
+        n = x.shape[0]
+        x_out[i, :n] = x
+        y_out[i, :n] = y
+        mask[i, :n] = True
+        sids.append(sid)
+    return PackedCorpus(x_out, y_out, mask, tuple(sids))
