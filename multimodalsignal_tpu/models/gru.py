@@ -1,0 +1,97 @@
+"""Bidirectional multi-layer GRU built on lax.scan.
+
+Parity target: reference models.py:56-63 (torch.nn.GRU, batch_first,
+bidirectional, inter-layer dropout). Gate equations follow torch's convention
+(reset gate scales W_hn @ h + b_hn *before* the tanh input sum):
+
+    r = sigmoid(x W_ir + b_ir + h W_hr + b_hr)
+    z = sigmoid(x W_iz + b_iz + h W_hz + b_hz)
+    n = tanh   (x W_in + b_in + r * (h W_hn + b_hn))
+    h' = (1 - z) * n + z * h
+
+TPU mapping: the input projection for ALL timesteps is one [B*T, in] x
+[in, 3H] matmul (MXU-shaped), so the sequential scan carries only the [B, H] x
+[H, 3H] recurrent product per step. Both directions run as lax.scan with
+reverse=False/True over the same fused projections. An optional fused Pallas
+kernel (ops/gru_pallas.py) keeps the recurrent weights resident in VMEM; the
+scan path is the correctness reference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _uniform_init(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
+def gru_sequence(x_gates: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
+                 h0: jnp.ndarray, reverse: bool = False) -> jnp.ndarray:
+    """Run one GRU direction given precomputed input gates.
+
+    x_gates: [B, T, 3H] = x @ W_ih^T + b_ih (already computed, MXU-batched)
+    w_hh:    [3H, H] torch-layout recurrent weights (rows = r, z, n blocks)
+    b_hh:    [3H]
+    Returns outputs [B, T, H] (aligned to original time order for both
+    directions, like torch's bidirectional output).
+    """
+    hidden = h0.shape[-1]
+
+    def step(h, xg):
+        hg = h @ w_hh.T + b_hh
+        xr, xz, xn = jnp.split(xg, 3, axis=-1)
+        hr, hz, hn = jnp.split(hg, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    xs = jnp.swapaxes(x_gates, 0, 1)  # [T, B, 3H] scan-major
+    _, ys = jax.lax.scan(step, h0, xs, reverse=reverse)
+    del hidden
+    return jnp.swapaxes(ys, 0, 1)  # [B, T, H]
+
+
+class BiGRU(nn.Module):
+    """Multi-layer bidirectional GRU; input [B, T, F] -> output [B, T, 2H]."""
+
+    hidden_size: int
+    num_layers: int = 1
+    dropout: float = 0.0
+    impl: str = "scan"  # "scan" | "pallas"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        h = self.hidden_size
+        bound = 1.0 / h**0.5  # torch GRU init: U(-1/sqrt(H), 1/sqrt(H))
+        batch = x.shape[0]
+        out = x
+        for layer in range(self.num_layers):
+            in_dim = out.shape[-1]
+            dir_outputs = []
+            for direction, reverse in (("fwd", False), ("bwd", True)):
+                pfx = f"l{layer}_{direction}"
+                w_ih = self.param(f"{pfx}_w_ih", _uniform_init(bound), (3 * h, in_dim))
+                w_hh = self.param(f"{pfx}_w_hh", _uniform_init(bound), (3 * h, h))
+                b_ih = self.param(f"{pfx}_b_ih", _uniform_init(bound), (3 * h,))
+                b_hh = self.param(f"{pfx}_b_hh", _uniform_init(bound), (3 * h,))
+                x_gates = out @ w_ih.T + b_ih  # [B, T, 3H] one big matmul
+                h0 = jnp.zeros((batch, h), dtype=out.dtype)
+                if self.impl == "pallas":
+                    from multimodalsignal_tpu.ops.gru_pallas import gru_sequence_pallas
+
+                    y = gru_sequence_pallas(x_gates, w_hh, b_hh, h0, reverse=reverse)
+                else:
+                    y = gru_sequence(x_gates, w_hh, b_hh, h0, reverse=reverse)
+                dir_outputs.append(y)
+            out = jnp.concatenate(dir_outputs, axis=-1)  # [B, T, 2H]
+            if self.dropout > 0 and layer < self.num_layers - 1:
+                out = nn.Dropout(rate=self.dropout, deterministic=not train)(out)
+        return out

@@ -6,12 +6,21 @@ required)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of ambient JAX_PLATFORMS (the dev box exposes a real
+# TPU whose default matmul precision would break tight parity tolerances).
+# The env var alone is not enough: sitecustomize imports jax at interpreter
+# start, so jax's config already snapshotted the ambient value — override the
+# live config too (backends are not initialized yet at conftest time).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
