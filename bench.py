@@ -1,0 +1,177 @@
+"""Benchmark: train steps/sec/chip on the flagship CnnGruAttention config.
+
+Measures the jitted JAX training step (forward + backward + Adam update,
+batch-norm state update included) at the reference's headline workload shape:
+batch 64, 3 input channels, 7680 timesteps (reference main.py:47,62,
+preprocess.py:21-23). Baseline is the same-architecture PyTorch training step
+(the reference is pure PyTorch with no TPU path, SURVEY.md §2), measured once
+on this host and cached in .bench_baseline.json.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "steps/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+BASELINE_CACHE = Path(__file__).parent / ".bench_baseline.json"
+
+
+def bench_jax(batch: int, channels: int, seq: int, steps: int, warmup: int) -> float:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from multimodalsignal_tpu.models import CnnGruAttentionModel
+    from multimodalsignal_tpu.train.optim import make_optimizer
+    from multimodalsignal_tpu.train.trainer import cross_entropy
+
+    model = CnnGruAttentionModel(num_classes=2)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (batch, channels, seq), jnp.float32)
+    y = jax.random.randint(rng, (batch,), 0, 2)
+    w = jnp.ones((batch,), jnp.float32)
+    variables = model.init(rng, x, train=False)
+    tx = make_optimizer(1e-3, 1e-4)
+    opt_state = tx.init(variables["params"])
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, x, y, rng):
+        def loss_fn(params):
+            (logits, new_bs) = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x, train=True, rngs={"dropout": rng}, mutable=["batch_stats"],
+            )
+            loss, _ = cross_entropy(logits, y, w)
+            return loss, new_bs["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_bs, new_opt, loss
+
+    params, bs = variables["params"], variables.get("batch_stats", {})
+    for i in range(warmup):
+        params, bs, opt_state, loss = train_step(
+            params, bs, opt_state, x, y, jax.random.fold_in(rng, i)
+        )
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        params, bs, opt_state, loss = train_step(
+            params, bs, opt_state, x, y, jax.random.fold_in(rng, i)
+        )
+    jax.block_until_ready(loss)
+    return steps / (time.perf_counter() - t0)
+
+
+def bench_torch_baseline(batch: int, channels: int, seq: int, steps: int) -> float:
+    """Reference-architecture PyTorch training step on this host (the
+    reference has no TPU backend; torch here is CPU). Cached across runs."""
+    import torch
+    import torch.nn as nn
+
+    class TorchChannelAttention(nn.Module):
+        def __init__(self, c, r=4):
+            super().__init__()
+            self.pool = nn.AdaptiveAvgPool1d(1)
+            self.fc = nn.Sequential(
+                nn.Linear(c, c // r, bias=False), nn.ReLU(),
+                nn.Linear(c // r, c, bias=False), nn.Sigmoid(),
+            )
+
+        def forward(self, x):
+            y = self.fc(self.pool(x).squeeze(-1))
+            return x * y.unsqueeze(-1)
+
+    class TorchCnnGruAttention(nn.Module):
+        def __init__(self, c_in, num_classes=2, cnn_out=32, hidden=64, layers=2):
+            super().__init__()
+            self.att = TorchChannelAttention(c_in) if c_in >= 4 else None
+            self.cnn = nn.Sequential(
+                nn.Conv1d(c_in, 16, 7, stride=2, padding=3, bias=False),
+                nn.BatchNorm1d(16), nn.ReLU(), nn.MaxPool1d(3, 2, padding=1),
+                nn.Conv1d(16, cnn_out, 5, stride=2, padding=2, bias=False),
+                nn.BatchNorm1d(cnn_out), nn.ReLU(), nn.MaxPool1d(3, 2, padding=1),
+            )
+            self.gru = nn.GRU(cnn_out, hidden, layers, batch_first=True,
+                              bidirectional=True, dropout=0.5)
+            self.head = nn.Sequential(
+                nn.Linear(2 * hidden, 64), nn.ReLU(), nn.Dropout(0.5),
+                nn.Linear(64, num_classes),
+            )
+
+        def forward(self, x):
+            if self.att is not None:
+                x = self.att(x)
+            else:
+                x = x * 0.5  # reference's degenerate C<4 gate (models.py:12-21)
+            x = self.cnn(x).permute(0, 2, 1)
+            out, _ = self.gru(x)
+            return self.head(out[:, -1, :])
+
+    device = "cuda" if torch.cuda.is_available() else "cpu"
+    model = TorchCnnGruAttention(channels).to(device)
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3, weight_decay=1e-4)
+    loss_fn = nn.CrossEntropyLoss()
+    x = torch.randn(batch, channels, seq, device=device)
+    y = torch.randint(0, 2, (batch,), device=device)
+    model.train()
+    for _ in range(2):  # warmup
+        opt.zero_grad()
+        loss_fn(model(x), y).backward()
+        opt.step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        opt.zero_grad()
+        loss_fn(model(x), y).backward()
+        opt.step()
+    return steps / (time.perf_counter() - t0)
+
+
+def get_baseline(batch: int, channels: int, seq: int) -> float:
+    key = f"torch_b{batch}_c{channels}_t{seq}"
+    cache = {}
+    if BASELINE_CACHE.exists():
+        try:
+            cache = json.loads(BASELINE_CACHE.read_text())
+        except json.JSONDecodeError:
+            cache = {}
+    if key not in cache:
+        try:
+            cache[key] = bench_torch_baseline(batch, channels, seq, steps=10)
+            BASELINE_CACHE.write_text(json.dumps(cache))
+        except Exception:
+            return float("nan")
+    return cache[key]
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--channels", type=int, default=3)
+    p.add_argument("--seq", type=int, default=7680)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--warmup", type=int, default=10)
+    args = p.parse_args()
+
+    value = bench_jax(args.batch, args.channels, args.seq, args.steps, args.warmup)
+    baseline = get_baseline(args.batch, args.channels, args.seq)
+    vs = value / baseline if np.isfinite(baseline) and baseline > 0 else None
+    print(json.dumps({
+        "metric": "cnn_gru_attention train steps/sec/chip "
+                  f"(B={args.batch}, C={args.channels}, T={args.seq})",
+        "value": round(value, 3),
+        "unit": "steps/sec/chip",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

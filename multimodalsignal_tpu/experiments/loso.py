@@ -1,0 +1,132 @@
+"""Serial LOSO cross-validation orchestrator.
+
+Parity target: reference main.py:91-156 (`run_simple_experiment`) — per held-out
+subject: build train/val/test datasets, train a fresh model with early stopping,
+evaluate on the held-out subject, then aggregate mean±std accuracy / weighted F1
+into `cv_summary.txt` with a full config echo.
+
+This is the functional-parity serial path (one fold at a time, reference
+main.py:98). The TPU-native form — every fold as one vmapped/sharded
+computation over a `fold` mesh axis — lives in parallel/fold_sweep.py and is
+selected with ExperimentConfig.fold_execution="sharded".
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from multimodalsignal_tpu.config import ExperimentConfig, config_to_dict, save_config
+from multimodalsignal_tpu.data.dataset import build_dataset, read_channel_names
+from multimodalsignal_tpu.experiments.splits import loso_folds
+from multimodalsignal_tpu.models import build_model
+from multimodalsignal_tpu.train.trainer import Trainer
+
+
+@dataclass
+class FoldResult:
+    subject: str
+    accuracy: float
+    f1_score: float
+    test_loss: float = float("nan")
+    best_epoch: int = -1
+    epochs_run: int = -1
+    wall_s: float = float("nan")
+
+
+def summarize_results(results: list[FoldResult]) -> dict:
+    accs = np.array([r.accuracy for r in results])
+    f1s = np.array([r.f1_score for r in results])
+    return {
+        "mean_accuracy": float(accs.mean()),
+        "std_accuracy": float(accs.std()),
+        "mean_f1": float(f1s.mean()),
+        "std_f1": float(f1s.std()),
+        "num_folds": len(results),
+    }
+
+
+def write_cv_summary(path: Path, cfg: ExperimentConfig, results: list[FoldResult]) -> dict:
+    """cv_summary.txt with config echo + per-fold table + mean±std
+    (reference main.py:131-156 contract, English field names)."""
+    summary = summarize_results(results)
+    lines = ["Experiment config:"]
+    for key, value in config_to_dict(cfg).items():
+        lines.append(f"{key}: {value}")
+    lines.append("")
+    lines.append("Per-fold results:")
+    for r in results:
+        lines.append(
+            f"  - test {r.subject}: Accuracy = {r.accuracy:.4f}, "
+            f"F1-score = {r.f1_score:.4f}"
+        )
+    lines.append("")
+    lines.append("Final mean performance:")
+    lines.append(
+        f"Mean accuracy: {summary['mean_accuracy']:.4f} ± {summary['std_accuracy']:.4f}"
+    )
+    lines.append(
+        f"Mean weighted F1: {summary['mean_f1']:.4f} ± {summary['std_f1']:.4f}"
+    )
+    path.write_text("\n".join(lines) + "\n")
+    return summary
+
+
+def run_simple_experiment(
+    cfg: ExperimentConfig,
+    run_output_dir: Path | str,
+    all_channel_names: list[str] | None = None,
+) -> tuple[list[FoldResult], dict]:
+    """Run the full LOSO sweep serially; returns (per-fold results, summary)."""
+    run_output_dir = Path(run_output_dir)
+    run_output_dir.mkdir(parents=True, exist_ok=True)
+    save_config(cfg, run_output_dir / "config.json")
+    if all_channel_names is None:
+        all_channel_names = read_channel_names(cfg.data_path)
+
+    print("=" * 80)
+    print(f"LOSO experiment (mode: {cfg.classification_mode}, "
+          f"folds: {len(cfg.subjects)}, execution: serial)")
+    print("=" * 80)
+
+    results: list[FoldResult] = []
+    for fold in loso_folds(cfg.subjects, cfg.val_fraction, cfg.seed):
+        t0 = time.time()
+        print(f"\n--- Fold: test subject {fold.test_subject} ---")
+        fold_dir = run_output_dir / f"fold_test_on_{fold.test_subject}"
+        fold_dir.mkdir(parents=True, exist_ok=True)
+
+        common = dict(
+            data_path=cfg.data_path,
+            channels_to_use=list(cfg.channels_to_use),
+            all_channel_names=all_channel_names,
+            classification_mode=cfg.classification_mode,
+            normalization=cfg.normalization,
+        )
+        train_ds = build_dataset(subjects=list(fold.train_subjects), **common)
+        val_ds = build_dataset(subjects=list(fold.val_subjects), **common)
+        test_ds = build_dataset(subjects=[fold.test_subject], **common)
+
+        model = build_model(cfg.model, cfg.num_classes)
+        trainer = Trainer(model, fold_dir, cfg.trainer, cfg.num_classes, seed=cfg.seed)
+        trainer.train(train_ds, val_ds)
+        test_loss, test_acc, test_f1 = trainer.evaluate(test_ds, is_test=True)
+        results.append(FoldResult(
+            subject=fold.test_subject,
+            accuracy=test_acc,
+            f1_score=test_f1,
+            test_loss=test_loss,
+            best_epoch=(trainer.history[-1].epoch if trainer.history else -1),
+            epochs_run=len(trainer.history),
+            wall_s=time.time() - t0,
+        ))
+
+    summary = write_cv_summary(run_output_dir / "cv_summary.txt", cfg, results)
+    print("\n--- Final mean performance ---")
+    print(f"Mean accuracy: {summary['mean_accuracy']:.4f} ± {summary['std_accuracy']:.4f}")
+    print(f"Mean weighted F1: {summary['mean_f1']:.4f} ± {summary['std_f1']:.4f}")
+    print(f"Summary saved to: {run_output_dir / 'cv_summary.txt'}")
+    return results, summary

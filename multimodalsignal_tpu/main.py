@@ -1,0 +1,105 @@
+"""Experiment CLI — the reference's `python main.py` entry point (main.py:70-88)
+as a typed-config command line.
+
+Usage:
+    python -m multimodalsignal_tpu.main                      # simple LOSO (serial)
+    python -m multimodalsignal_tpu.main --execution sharded  # vmapped fold sweep
+    python -m multimodalsignal_tpu.main --hierarchical       # two-stage ternary
+    python -m multimodalsignal_tpu.main --config cfg.json \
+        --set trainer.learning_rate=3e-4 --set channels_to_use=chest_ECG
+
+Creates output/<run_name>/run_<timestamp>/ (reference main.py:73-75), echoes
+the config into it, and dispatches to the orchestrators in experiments/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+from multimodalsignal_tpu.config import (
+    ExperimentConfig,
+    HierarchicalConfig,
+    apply_overrides,
+    config_from_dict,
+)
+
+
+def _parse_value(raw: str):
+    """Parse a --set value: JSON first, then comma-list, then string."""
+    try:
+        return json.loads(raw)
+    except (json.JSONDecodeError, ValueError):
+        if "," in raw:
+            return tuple(v.strip() for v in raw.split(",") if v.strip())
+        return raw
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--config", type=Path, default=None,
+                   help="JSON config file (ExperimentConfig / HierarchicalConfig)")
+    p.add_argument("--hierarchical", action="store_true",
+                   help="run the two-stage ternary experiment (reference main.py:20)")
+    p.add_argument("--execution", choices=("serial", "sharded"), default=None,
+                   help="fold execution strategy (overrides config)")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="dotted-path config override, e.g. trainer.epochs=50")
+    p.add_argument("--output-dir", type=Path, default=None,
+                   help="override the run output root")
+    return p
+
+
+def load_config(args) -> ExperimentConfig | HierarchicalConfig:
+    cls = HierarchicalConfig if args.hierarchical else ExperimentConfig
+    if args.config is not None:
+        cfg = config_from_dict(cls, json.loads(Path(args.config).read_text()))
+    else:
+        cfg = cls()
+    overrides = {}
+    for item in args.set:
+        key, _, raw = item.partition("=")
+        overrides[key.strip()] = _parse_value(raw.strip())
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    return cfg
+
+
+def make_run_dir(cfg, output_dir: Path | None) -> Path:
+    base_cfg = cfg.base if isinstance(cfg, HierarchicalConfig) else cfg
+    root = Path(output_dir) if output_dir else Path(base_cfg.output_dir)
+    run_dir = root / cfg.run_name / f"run_{time.strftime('%Y%m%d_%H%M%S')}"
+    run_dir.mkdir(parents=True, exist_ok=True)
+    return run_dir
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    cfg = load_config(args)
+    run_dir = make_run_dir(cfg, args.output_dir)
+    print(f"Run directory: {run_dir}")
+
+    if args.hierarchical:
+        from multimodalsignal_tpu.experiments.hierarchical import (
+            run_hierarchical_experiment,
+        )
+
+        run_hierarchical_experiment(cfg, run_dir)
+        return
+
+    execution = args.execution or cfg.fold_execution
+    if execution == "sharded":
+        from multimodalsignal_tpu.parallel.fold_sweep import run_sharded_experiment
+
+        run_sharded_experiment(cfg, run_dir)
+    else:
+        from multimodalsignal_tpu.experiments.loso import run_simple_experiment
+
+        run_simple_experiment(cfg, run_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,479 @@
+"""Sharded LOSO fold sweep: all folds as one jitted computation over a mesh.
+
+The reference trains its 15 LOSO folds serially (reference main.py:98-125).
+Here the complete cross-validation — per-fold init, every training epoch with
+shuffling/early-stopping/LR-plateau, best-state tracking, and the final test
+evaluation — compiles to a single XLA program vmapped over a `fold` axis and
+sharded across devices with jax.sharding.Mesh + NamedSharding. Device count
+does not need to divide the fold count: folds are padded with inert replicas
+whose results are dropped.
+
+Key design points (SURVEY.md §7 "Hard parts"):
+  * Ragged folds: subjects have different window counts, so per-fold index
+    POOLS (packed valid-first, zero-padded) select windows from one flat,
+    replicated corpus; every fold runs the same [epochs, steps, B] schedule
+    with 0/1 sample weights.
+  * In-graph shuffling: per-epoch batch order comes from jax.random inside
+    the scan (sort of uniform scores with invalid positions pushed last) —
+    no host round-trip per epoch.
+  * Early stopping in a lockstep sweep: folds can't exit a sharded
+    computation early, so every fold runs the fixed epoch horizon with
+    updates MASKED once its patience fires; best (params, batch_stats) are
+    tracked in-graph via whole-tree selects (the reference's checkpointing,
+    trainer.py:38-39, becomes a select instead of a file write).
+  * BatchNorm running stats and Adam moments live in the per-fold pytree —
+    never shared across folds.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multimodalsignal_tpu.config import ExperimentConfig, save_config
+from multimodalsignal_tpu.data.dataset import PackedCorpus, pack_corpus, read_channel_names
+from multimodalsignal_tpu.experiments.loso import FoldResult, write_cv_summary
+from multimodalsignal_tpu.experiments.splits import loso_folds
+from multimodalsignal_tpu.models import build_model
+from multimodalsignal_tpu.train import metrics as M
+from multimodalsignal_tpu.train.optim import (
+    early_stopping_init,
+    early_stopping_update,
+    make_optimizer,
+    plateau_init,
+    plateau_update,
+)
+from multimodalsignal_tpu.train.trainer import TrainState, cross_entropy
+
+
+# ---------------------------------------------------------------------------
+# Fold batch construction (host side)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class FoldBatch:
+    """Per-fold index pools into the flat corpus, padded to common sizes.
+
+    pools are packed valid-first: pool[f, :n[f]] are flat window indices
+    (subject * Wmax + window) of real windows; the rest is zero padding.
+    The fold axis may be padded beyond the real fold count (fold_valid=False)
+    so it divides the device count.
+    """
+
+    train_pool: np.ndarray  # [F, Ptr] int32
+    n_train: np.ndarray     # [F] int32
+    val_pool: np.ndarray    # [F, Pva] int32
+    n_val: np.ndarray       # [F] int32
+    test_pool: np.ndarray   # [F, Pte] int32
+    n_test: np.ndarray      # [F] int32
+    fold_valid: np.ndarray  # [F] bool
+    test_subjects: tuple[str, ...]  # real folds only
+
+
+def _pack_pools(pools: list[np.ndarray], pad_to_folds: int) -> tuple[np.ndarray, np.ndarray]:
+    size = max(max(len(p) for p in pools), 1)
+    out = np.zeros((pad_to_folds, size), dtype=np.int32)
+    n = np.zeros(pad_to_folds, dtype=np.int32)
+    for i, p in enumerate(pools):
+        out[i, : len(p)] = p
+        n[i] = len(p)
+    return out, n
+
+
+def build_fold_batch(
+    corpus: PackedCorpus,
+    subjects: list[str],
+    val_fraction: float = 0.2,
+    seed: int = 42,
+    pad_folds_to: int | None = None,
+) -> FoldBatch:
+    """Turn LOSO fold specs (reference main.py:98-103 splits) into index pools."""
+    sid_to_row = {sid: i for i, sid in enumerate(corpus.subjects)}
+    wmax = corpus.x.shape[1]
+    folds = loso_folds(subjects, val_fraction, seed)
+    folds = [f for f in folds if f.test_subject in sid_to_row]
+
+    def pool_for(sids) -> np.ndarray:
+        parts = []
+        for sid in sids:
+            if sid not in sid_to_row:
+                continue
+            row = sid_to_row[sid]
+            w = np.nonzero(corpus.mask[row])[0]
+            parts.append(row * wmax + w)
+        return np.concatenate(parts) if parts else np.zeros(0, np.int64)
+
+    num_real = len(folds)
+    total = pad_folds_to or num_real
+    train_pool, n_train = _pack_pools([pool_for(f.train_subjects) for f in folds], total)
+    val_pool, n_val = _pack_pools([pool_for(f.val_subjects) for f in folds], total)
+    test_pool, n_test = _pack_pools([pool_for([f.test_subject]) for f in folds], total)
+    fold_valid = np.zeros(total, dtype=bool)
+    fold_valid[:num_real] = True
+    # Inert padded folds reuse fold 0's pools (same shapes, results dropped).
+    for arr, n_arr in ((train_pool, n_train), (val_pool, n_val), (test_pool, n_test)):
+        arr[num_real:] = arr[0]
+        n_arr[num_real:] = n_arr[0]
+    return FoldBatch(
+        train_pool, n_train, val_pool, n_val, test_pool, n_test,
+        fold_valid, tuple(f.test_subject for f in folds),
+    )
+
+
+def make_fold_mesh(num_folds: int, devices=None) -> tuple[Mesh, int]:
+    """1-D `fold` mesh over available devices; returns (mesh, padded fold
+    count divisible by the device count)."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    d = len(devices)
+    padded = -(-num_folds // d) * d
+    return Mesh(devices, axis_names=("fold",)), padded
+
+
+# ---------------------------------------------------------------------------
+# In-graph batch schedules
+# ---------------------------------------------------------------------------
+
+def _shuffled_grid(rng, pool, n_valid, steps: int, batch_size: int):
+    """[steps, B] flat corpus indices + 0/1 weights, shuffled in-graph.
+
+    Sorting uniform scores with invalid pool positions pushed last yields a
+    uniform permutation of the n_valid real windows at the front.
+    """
+    p = pool.shape[0]
+    total = steps * batch_size
+    scores = jax.random.uniform(rng, (p,)) + 2.0 * (jnp.arange(p) >= n_valid)
+    order = jnp.argsort(scores)
+    take = jnp.arange(total) % p
+    idx = pool[order[take]]
+    w = (jnp.arange(total) < n_valid).astype(jnp.float32)
+    return idx.reshape(steps, batch_size), w.reshape(steps, batch_size)
+
+
+def _sequential_grid(pool, n_valid, steps: int, batch_size: int):
+    """Deterministic eval grid (reference eval loaders never shuffle)."""
+    p = pool.shape[0]
+    total = steps * batch_size
+    take = jnp.arange(total) % p
+    idx = pool[take]
+    w = (jnp.arange(total) < n_valid).astype(jnp.float32)
+    return idx.reshape(steps, batch_size), w.reshape(steps, batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Single-fold program (vmapped over folds)
+# ---------------------------------------------------------------------------
+
+class SweepHistory(NamedTuple):
+    train_loss: jnp.ndarray  # [E]
+    val_loss: jnp.ndarray    # [E]
+    val_acc: jnp.ndarray     # [E]
+    val_f1: jnp.ndarray      # [E]
+    lr: jnp.ndarray          # [E]
+
+
+class SweepResult(NamedTuple):
+    history: SweepHistory
+    best_epoch: jnp.ndarray     # [] int32
+    stop_epoch: jnp.ndarray     # [] int32 (epochs actually "run" before mask)
+    test_loss: jnp.ndarray      # []
+    test_cm: jnp.ndarray        # [num_classes, num_classes]
+
+
+def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
+                       steps_va: int, steps_te: int, num_classes: int):
+    tcfg = cfg.trainer
+    es_cfg = tcfg.early_stopping
+    batch = tcfg.batch_size
+
+    def loss_and_grads(state: TrainState, x, y, xb_idx, wb, dropout_rng):
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x[xb_idx], train=True, rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"],
+            )
+            logits, new_bs = out
+            loss, wsum = cross_entropy(logits, y[xb_idx], wb)
+            return loss, (new_bs["batch_stats"], wsum)
+
+        (loss, (new_bs, wsum)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        return loss, wsum, new_bs, grads
+
+    def eval_pass(state: TrainState, x, y, idx, w):
+        def step(carry, inp):
+            loss_sum, w_sum, cm = carry
+            bi, wb = inp
+            logits = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                x[bi], train=False,
+            )
+            loss, wsum = cross_entropy(logits, y[bi], wb)
+            preds = jnp.argmax(logits, axis=-1)
+            cm = cm + M.confusion_matrix(y[bi], preds, num_classes, wb)
+            return (loss_sum + loss * wsum, w_sum + wsum, cm), None
+
+        init = (jnp.zeros(()), jnp.zeros(()), jnp.zeros((num_classes, num_classes)))
+        (loss_sum, w_sum, cm), _ = jax.lax.scan(step, init, (idx, w))
+        return loss_sum / jnp.maximum(w_sum, 1e-12), cm
+
+    def fold_program(x, y, fb_train_pool, fb_n_train, fb_val_pool, fb_n_val,
+                     fb_test_pool, fb_n_test, init_state: TrainState, rng):
+        """Full train-to-test lifecycle of ONE fold; vmapped over folds."""
+        val_idx, val_w = _sequential_grid(fb_val_pool, fb_n_val, steps_va, batch)
+
+        def epoch_body(carry, epoch):
+            state, best, es, pl, rng, stopped = carry
+            rng, shuffle_rng, drop_rng = jax.random.split(rng, 3)
+            idx, w = _shuffled_grid(shuffle_rng, fb_train_pool, fb_n_train,
+                                    steps_tr, batch)
+
+            def train_step(scarry, inp):
+                st, drng, loss_sum, w_sum = scarry
+                bi, wb = inp
+                drng, d = jax.random.split(drng)
+                loss, wsum, new_bs, grads = loss_and_grads(st, x, y, bi, wb, d)
+                updates, new_opt = tx.update(grads, st.opt_state, st.params)
+                new_params = optax.apply_updates(st.params, updates)
+                valid = wb.sum() > 0
+                new_st = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(valid, new, old),
+                    TrainState(new_params, new_bs, new_opt), st,
+                )
+                return (new_st, drng, loss_sum + jnp.where(valid, loss * wsum, 0.0),
+                        w_sum + wsum), None
+
+            (new_state, _, loss_sum, w_sum), _ = jax.lax.scan(
+                train_step, (state, drop_rng, jnp.zeros(()), jnp.zeros(())), (idx, w)
+            )
+            train_loss = loss_sum / jnp.maximum(w_sum, 1e-12)
+
+            val_loss, val_cm = eval_pass(new_state, x, y, val_idx, val_w)
+            val_acc = M.accuracy_from_cm(val_cm)
+            val_f1 = M.weighted_f1_from_cm(val_cm)
+
+            new_pl = plateau_update(
+                pl, val_loss, factor=tcfg.lr_plateau_factor,
+                patience=tcfg.lr_plateau_patience, threshold=tcfg.lr_plateau_threshold,
+            )
+            new_state.opt_state.hyperparams["learning_rate"] = new_pl.lr
+            new_es = early_stopping_update(
+                es, val_loss, epoch, patience=es_cfg.patience, delta=es_cfg.delta,
+                legacy_inverted=es_cfg.legacy_inverted,
+            )
+            new_best = jax.tree_util.tree_map(
+                lambda b, s: jnp.where(
+                    jnp.logical_and(new_es.improved, jnp.logical_not(stopped)), s, b
+                ),
+                best, (new_state.params, new_state.batch_stats),
+            )
+            # Once stopped, the fold coasts: state/schedules frozen.
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(stopped, b, a), new, old
+            )
+            state = keep(new_state, state)
+            es = keep(new_es, es)
+            pl = keep(new_pl, pl)
+            new_stopped = jnp.logical_or(
+                stopped, jnp.logical_and(es_cfg.enabled, es.should_stop)
+            )
+            log = (train_loss, val_loss, val_acc, val_f1, pl.lr,
+                   jnp.logical_not(stopped))
+            return (state, new_best, es, pl, rng, new_stopped), log
+
+        es0 = early_stopping_init()
+        pl0 = plateau_init(tcfg.learning_rate)
+        best0 = (init_state.params, init_state.batch_stats)
+        carry0 = (init_state, best0, es0, pl0, rng, jnp.asarray(False))
+        (state, best, es, pl, _, _), logs = jax.lax.scan(
+            epoch_body, carry0, jnp.arange(tcfg.epochs)
+        )
+        train_loss, val_loss, val_acc, val_f1, lr, ran = logs
+
+        # Reference default here: always restore the best checkpoint
+        # (fixed variant of reference trainer.py:185-187).
+        best_params, best_bs = best
+        restore = jnp.logical_not(
+            jnp.asarray(tcfg.legacy_restore_only_on_early_stop)
+        ) | es.should_stop
+        final_state = jax.tree_util.tree_map(
+            lambda b, s: jnp.where(jnp.logical_and(es_cfg.enabled, restore), b, s),
+            TrainState(best_params, best_bs, state.opt_state), state,
+        )
+
+        test_idx, test_w = _sequential_grid(fb_test_pool, fb_n_test, steps_te, batch)
+        test_loss, test_cm = eval_pass(final_state, x, y, test_idx, test_w)
+        return SweepResult(
+            history=SweepHistory(train_loss, val_loss, val_acc, val_f1, lr),
+            best_epoch=es.best_epoch,
+            stop_epoch=ran.astype(jnp.int32).sum(),
+            test_loss=test_loss,
+            test_cm=test_cm,
+        )
+
+    return fold_program
+
+
+# ---------------------------------------------------------------------------
+# Sweep driver
+# ---------------------------------------------------------------------------
+
+def run_fold_sweep(
+    corpus: PackedCorpus,
+    fb: FoldBatch,
+    cfg: ExperimentConfig,
+    mesh: Mesh | None = None,
+) -> SweepResult:
+    """Compile + run every fold as one sharded computation; returns per-fold
+    stacked SweepResult (fold axis first, padded folds included)."""
+    num_folds = fb.train_pool.shape[0]
+    if mesh is None:
+        mesh, padded = make_fold_mesh(num_folds)
+        assert padded == num_folds, (
+            f"FoldBatch must be padded to the device count: {num_folds} vs {padded}"
+        )
+
+    model = build_model(cfg.model, cfg.num_classes)
+    tx = make_optimizer(cfg.trainer.learning_rate, cfg.trainer.weight_decay)
+    batch = cfg.trainer.batch_size
+
+    x_flat, y_flat, _ = corpus.flat()
+    x = jnp.asarray(x_flat, jnp.float32)
+    y = jnp.asarray(y_flat, jnp.int32)
+
+    steps_tr = max(-(-int(fb.n_train.max()) // batch), 1)
+    steps_va = max(-(-int(fb.n_val.max()) // batch), 1)
+    steps_te = max(-(-int(fb.n_test.max()) // batch), 1)
+
+    # Per-fold independent init (reference builds a fresh model per fold,
+    # main.py:116-117); BN stats and Adam moments stay fold-local.
+    base_rng = jax.random.PRNGKey(cfg.seed)
+    fold_rngs = jax.random.split(base_rng, num_folds)
+    sample = x[:1]
+
+    def init_fold(rng):
+        init_rng, run_rng = jax.random.split(rng)
+        variables = model.init(init_rng, sample, train=False)
+        return TrainState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+        ), run_rng
+
+    init_states, run_rngs = jax.vmap(init_fold)(fold_rngs)
+
+    program = _make_fold_program(
+        model, tx, cfg, steps_tr, steps_va, steps_te, cfg.num_classes
+    )
+
+    fold_sharding = NamedSharding(mesh, P("fold"))
+    repl = NamedSharding(mesh, P())
+
+    def put_folded(tree):
+        return jax.device_put(tree, fold_sharding)
+
+    args = (
+        jax.device_put(x, repl),
+        jax.device_put(y, repl),
+        put_folded(jnp.asarray(fb.train_pool)),
+        put_folded(jnp.asarray(fb.n_train)),
+        put_folded(jnp.asarray(fb.val_pool)),
+        put_folded(jnp.asarray(fb.n_val)),
+        put_folded(jnp.asarray(fb.test_pool)),
+        put_folded(jnp.asarray(fb.n_test)),
+        jax.device_put(init_states, fold_sharding),
+        put_folded(run_rngs),
+    )
+
+    sweep = jax.jit(jax.vmap(program, in_axes=(None, None) + (0,) * 8))
+    with mesh:
+        result = sweep(*args)
+    return jax.tree_util.tree_map(np.asarray, result)
+
+
+def run_sharded_experiment(
+    cfg: ExperimentConfig,
+    run_output_dir: Path | str,
+    all_channel_names: list[str] | None = None,
+    devices=None,
+) -> tuple[list[FoldResult], dict]:
+    """End-to-end sharded LOSOCV: pack corpus -> sweep -> reference artifacts
+    (per-fold training logs, cv_summary.txt). Drop-in replacement for
+    experiments.loso.run_simple_experiment."""
+    t0 = time.time()
+    run_output_dir = Path(run_output_dir)
+    run_output_dir.mkdir(parents=True, exist_ok=True)
+    save_config(cfg, run_output_dir / "config.json")
+    if all_channel_names is None:
+        all_channel_names = read_channel_names(cfg.data_path)
+
+    corpus = pack_corpus(
+        cfg.data_path, list(cfg.subjects), list(cfg.channels_to_use),
+        all_channel_names, cfg.classification_mode, cfg.normalization,
+    )
+    mesh, padded = make_fold_mesh(len(corpus.subjects), devices)
+    fb = build_fold_batch(corpus, list(cfg.subjects), cfg.val_fraction,
+                          cfg.seed, pad_folds_to=padded)
+    print("=" * 80)
+    print(f"Sharded LOSO sweep: {len(fb.test_subjects)} folds "
+          f"(padded to {padded}) over {mesh.devices.size} devices "
+          f"[{mesh.devices.flat[0].platform}]")
+    print("=" * 80)
+
+    result = run_fold_sweep(corpus, fb, cfg, mesh)
+
+    results: list[FoldResult] = []
+    for i, subject in enumerate(fb.test_subjects):
+        cm = jnp.asarray(result.test_cm[i])
+        acc = float(M.accuracy_from_cm(cm))
+        f1 = float(M.weighted_f1_from_cm(cm))
+        epochs_run = int(result.stop_epoch[i])
+        results.append(FoldResult(
+            subject=subject, accuracy=acc, f1_score=f1,
+            test_loss=float(result.test_loss[i]),
+            best_epoch=int(result.best_epoch[i]) + 1,
+            epochs_run=epochs_run,
+        ))
+        _write_fold_log(run_output_dir / f"fold_test_on_{subject}", result, i,
+                        epochs_run, acc, f1)
+
+    summary = write_cv_summary(run_output_dir / "cv_summary.txt", cfg, results)
+    summary["sweep_wall_s"] = time.time() - t0
+    print(f"\nSweep wall-clock: {summary['sweep_wall_s']:.2f}s "
+          f"({len(results)} folds in parallel)")
+    print(f"Mean accuracy: {summary['mean_accuracy']:.4f} "
+          f"± {summary['std_accuracy']:.4f}")
+    print(f"Mean weighted F1: {summary['mean_f1']:.4f} ± {summary['std_f1']:.4f}")
+    return results, summary
+
+
+def _write_fold_log(fold_dir: Path, result: SweepResult, i: int,
+                    epochs_run: int, acc: float, f1: float) -> None:
+    """Per-fold training_log.txt reconstructed from the sweep's stacked
+    history (the artifact contract of reference trainer.py:113-117)."""
+    fold_dir.mkdir(parents=True, exist_ok=True)
+    h = result.history
+    lines = [f"Training log (sharded sweep fold {i})", "=" * 50]
+    for e in range(epochs_run):
+        lines.append(
+            f"Epoch {e + 1} | train loss: {h.train_loss[i, e]:.4f} | "
+            f"val loss: {h.val_loss[i, e]:.4f} | "
+            f"val acc: {h.val_acc[i, e]:.4f} | val F1: {h.val_f1[i, e]:.4f} | "
+            f"lr: {h.lr[i, e]:.2e}"
+        )
+    lines.append(f"Best epoch: {int(result.best_epoch[i]) + 1}")
+    lines.append("--- Final test results ---")
+    lines.append(
+        f"test loss: {result.test_loss[i]:.4f} | test acc: {acc:.4f} | "
+        f"test F1: {f1:.4f}"
+    )
+    (fold_dir / "training_log.txt").write_text("\n".join(lines) + "\n")

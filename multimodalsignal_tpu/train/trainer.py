@@ -96,13 +96,6 @@ def make_epoch_fns(model, tx, num_classes: int, class_weights=None):
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def train_step(carry, inp):
-        state, rng = carry
-        batch_idx, wb = inp
-        rng, dropout_rng = jax.random.split(rng)
-        xb = jnp.take(carry[0].params and 0, 0) if False else None  # noqa: F841
-        return state, rng, batch_idx, wb, dropout_rng
-
     @jax.jit
     def train_epoch(state: TrainState, x, y, idx, w, rng):
         def step(carry, inp):

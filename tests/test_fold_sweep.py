@@ -1,0 +1,116 @@
+"""Sharded fold sweep: in-graph shuffling, fold batching, and the full
+vmapped LOSO sweep on the virtual 8-device CPU mesh (SURVEY.md §4's
+multi-device test strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodalsignal_tpu.config import (
+    EarlyStoppingConfig,
+    ExperimentConfig,
+    ModelConfig,
+    TrainerConfig,
+)
+from multimodalsignal_tpu.data.dataset import pack_corpus
+from multimodalsignal_tpu.parallel.fold_sweep import (
+    _sequential_grid,
+    _shuffled_grid,
+    build_fold_batch,
+    make_fold_mesh,
+    run_sharded_experiment,
+)
+
+from tests.test_preprocess import preprocessed  # noqa: F401  (fixture reuse)
+from tests.conftest import SUBJECTS_SMALL
+
+
+def test_shuffled_grid_is_permutation():
+    pool = jnp.asarray(np.arange(100, 117, dtype=np.int32))  # 17 entries
+    n_valid = 11
+    idx, w = _shuffled_grid(jax.random.PRNGKey(0), pool, n_valid, steps=3, batch_size=8)
+    assert idx.shape == (3, 8) and w.shape == (3, 8)
+    flat_idx = np.asarray(idx).reshape(-1)
+    flat_w = np.asarray(w).reshape(-1)
+    assert flat_w.sum() == n_valid
+    real = flat_idx[flat_w > 0]
+    # Exactly the 11 valid pool entries, each once, shuffled.
+    assert sorted(real.tolist()) == list(range(100, 111))
+    # Different keys give different orders.
+    idx2, _ = _shuffled_grid(jax.random.PRNGKey(1), pool, n_valid, 3, 8)
+    assert not np.array_equal(np.asarray(idx2), np.asarray(idx))
+
+
+def test_sequential_grid_covers_in_order():
+    pool = jnp.asarray(np.arange(50, 60, dtype=np.int32))
+    idx, w = _sequential_grid(pool, 7, steps=2, batch_size=8)
+    flat_idx = np.asarray(idx).reshape(-1)
+    flat_w = np.asarray(w).reshape(-1)
+    assert flat_idx[:7].tolist() == list(range(50, 57))
+    assert flat_w.sum() == 7
+
+
+def test_build_fold_batch(preprocessed):  # noqa: F811
+    corpus = pack_corpus(
+        preprocessed / "chest_raw", SUBJECTS_SMALL, ["chest_ECG"],
+        _channel_names(preprocessed), "stress_binary",
+    )
+    fb = build_fold_batch(corpus, SUBJECTS_SMALL, pad_folds_to=8)
+    assert fb.train_pool.shape[0] == 8
+    assert fb.fold_valid.tolist() == [True] * 4 + [False] * 4
+    assert len(fb.test_subjects) == 4
+    wmax = corpus.x.shape[1]
+    for f in range(4):
+        # Pools index real windows only.
+        for pool, n in ((fb.train_pool, fb.n_train), (fb.val_pool, fb.n_val),
+                        (fb.test_pool, fb.n_test)):
+            flat = pool[f, : n[f]]
+            rows, cols = flat // wmax, flat % wmax
+            assert corpus.mask[rows, cols].all()
+        # Train/val/test partition is disjoint over subjects.
+        tr_rows = set((fb.train_pool[f, : fb.n_train[f]] // wmax).tolist())
+        va_rows = set((fb.val_pool[f, : fb.n_val[f]] // wmax).tolist())
+        te_rows = set((fb.test_pool[f, : fb.n_test[f]] // wmax).tolist())
+        assert not (tr_rows & va_rows) and not (tr_rows & te_rows)
+        assert not (va_rows & te_rows)
+        assert len(te_rows) == 1
+
+
+def _channel_names(preprocessed):
+    return (preprocessed / "chest_raw" / "_channel_names.txt").read_text().split()
+
+
+def test_make_fold_mesh_padding():
+    mesh, padded = make_fold_mesh(15)
+    assert padded % mesh.devices.size == 0
+    assert padded >= 15
+
+
+def test_sharded_experiment_end_to_end(preprocessed, tmp_path):  # noqa: F811
+    """Full sharded LOSOCV over the 8-device CPU mesh: one jitted program
+    trains all folds; artifacts match the serial contract."""
+    cfg = ExperimentConfig(
+        data_path=str(preprocessed / "chest_raw"),
+        subjects=tuple(SUBJECTS_SMALL),
+        channels_to_use=("chest_ECG", "chest_EDA", "chest_Resp"),
+        model=ModelConfig(cnn_out_channels=8, gru_hidden_size=8, gru_num_layers=1),
+        trainer=TrainerConfig(
+            epochs=3, batch_size=16, learning_rate=3e-3,
+            early_stopping=EarlyStoppingConfig(patience=5),
+        ),
+        fold_execution="sharded",
+    )
+    results, summary = run_sharded_experiment(cfg, tmp_path)
+    assert len(results) == 4
+    assert summary["num_folds"] == 4
+    assert (tmp_path / "cv_summary.txt").exists()
+    for r in results:
+        assert 0.0 <= r.accuracy <= 1.0
+        assert 1 <= r.epochs_run <= 3
+        log = (tmp_path / f"fold_test_on_{r.subject}" / "training_log.txt").read_text()
+        assert "Final test results" in log
+        assert f"test acc: {r.accuracy:.4f}" in log
+    # History must be finite for the epochs that ran.
+    accs = [r.accuracy for r in results]
+    assert np.isfinite(accs).all()
