@@ -1,0 +1,289 @@
+"""Fused Pallas GRU kernel (forward + custom-VJP backward).
+
+Replaces the per-step lax.scan recurrence (models/gru.py:34-59, itself the
+TPU equivalent of the reference's cuDNN GRU, reference models.py:56-63) with
+one Pallas kernel per direction:
+
+  * The input projection x @ W_ih^T + b_ih stays OUTSIDE the kernel — it is
+    one big MXU-shaped [B*T, in] x [in, 3H] matmul XLA already does optimally.
+  * The kernel walks time in VMEM-resident chunks: the [T, B, 3H] gate array
+    is gridded over time, the hidden state lives in a VMEM scratch that
+    persists across sequential grid steps, and every timestep is one small
+    [B, H] x [H, 3H] MXU matmul plus VPU gate math — no HBM round-trip of
+    the carry, no per-step kernel launch.
+  * Backward is a second Pallas kernel running the adjoint recurrence in the
+    opposite time order, recomputing the recurrent gate projection from the
+    saved hidden states (cheaper than storing [T, B, 3H] activations) and
+    accumulating dW_hh / db_hh in VMEM scratch.
+
+Gate convention matches torch (r, z, n blocks; reset gate applied to the
+recurrent term before tanh) so the kernel is a drop-in for the scan path.
+
+On non-TPU backends the kernel runs in Pallas interpreter mode, so the same
+code path is testable on the CPU mesh (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Time-chunk length per grid step. 64 keeps the [T_BLK, B, 3H] gate block
+# ~3 MB at the flagship shape (B=64, H=64) — well inside VMEM with room for
+# the output block and scratch.
+T_BLK = 64
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(xg_ref, whh_t_ref, bhh_ref, h0_ref, out_ref, h_scratch,
+                *, t_total: int, reverse: bool):
+    """One time-chunk of the GRU recurrence.
+
+    xg_ref  [T_BLK, B, 3H]  precomputed input gates for this chunk
+    whh_t   [H, 3H]         transposed recurrent weights (h @ whh_t)
+    bhh     [1, 3H]
+    h0      [B, H]
+    out_ref [T_BLK, B, H]   hidden states for this chunk
+    h_scratch [B, H]        carry, persists across sequential grid steps
+    """
+    i = pl.program_id(0)
+    n_chunks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        h_scratch[:] = h0_ref[:]
+
+    # Chunk index in TIME order: the grid walks the recurrence order, which
+    # for the reverse direction is the last chunk first.
+    chunk = (n_chunks - 1 - i) if reverse else i
+    base = chunk * T_BLK
+
+    def step(k, h):
+        # k-th step inside the chunk, in recurrence order.
+        t = (T_BLK - 1 - k) if reverse else k
+        valid = (base + t) < t_total
+        xg = xg_ref[t]
+        hg = (
+            jnp.dot(h, whh_t_ref[:], preferred_element_type=jnp.float32)
+            + bhh_ref[0]
+        )
+        xr, xz, xn = jnp.split(xg, 3, axis=-1)
+        hr, hz, hn = jnp.split(hg, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        h_new = jnp.where(valid, h_new, h)
+        out_ref[t] = h_new
+        return h_new
+
+    h_scratch[:] = jax.lax.fori_loop(0, T_BLK, step, h_scratch[:])
+
+
+def _gru_forward(x_gates_tm, w_hh, b_hh, h0, reverse: bool):
+    """x_gates_tm [T, B, 3H] time-major -> ys [T, B, H]."""
+    t_total, batch, three_h = x_gates_tm.shape
+    hidden = three_h // 3
+    n_chunks = pl.cdiv(t_total, T_BLK)
+    whh_t = w_hh.T  # [H, 3H]
+    bhh2 = b_hh.reshape(1, three_h)
+
+    def chunk_map(i):
+        return ((n_chunks - 1 - i) if reverse else i, 0, 0)
+
+    return pl.pallas_call(
+        partial(_fwd_kernel, t_total=t_total, reverse=reverse),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((T_BLK, batch, three_h), chunk_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, three_h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, three_h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T_BLK, batch, hidden), chunk_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_total, batch, hidden), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((batch, hidden), jnp.float32)],
+        interpret=_interpret(),
+    )(x_gates_tm, whh_t, bhh2, h0)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel (adjoint recurrence, opposite time order)
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(dy_ref, hprev_ref, xg_ref, whh_t_ref, bhh_ref,
+                dxg_ref, dwhh_t_ref, dbhh_ref, dh0_ref,
+                dh_scratch, dw_scratch, db_scratch,
+                *, t_total: int, reverse: bool):
+    """Adjoint of one time-chunk.
+
+    hprev_ref [T_BLK, B, H]: the hidden state ENTERING each step (ys shifted
+    by one in recurrence order, with h0 at the recurrence start) — lets the
+    kernel recompute the gates instead of storing them.
+    Outputs: dxg (per-chunk), and at the final grid step the accumulated
+    dwhh_t [H, 3H], dbhh [1, 3H], dh0 [B, H].
+    """
+    i = pl.program_id(0)
+    n_chunks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        dh_scratch[:] = jnp.zeros_like(dh_scratch)
+        dw_scratch[:] = jnp.zeros_like(dw_scratch)
+        db_scratch[:] = jnp.zeros_like(db_scratch)
+
+    # The adjoint walks chunks opposite to the recurrence order: for the
+    # forward direction that is last chunk first.
+    chunk = i if reverse else (n_chunks - 1 - i)
+    base = chunk * T_BLK
+
+    def step(k, dh):
+        # Iterate steps inside the chunk opposite to recurrence order.
+        t = k if reverse else (T_BLK - 1 - k)
+        valid = (base + t) < t_total
+        # Mask the state itself: padded-block reads can be NaN/garbage and a
+        # NaN times a zeroed dgates_h still poisons the dW accumulator.
+        h_prev = jnp.where(valid, hprev_ref[t], 0.0)
+        xg = xg_ref[t]
+        hg = (
+            jnp.dot(h_prev, whh_t_ref[:], preferred_element_type=jnp.float32)
+            + bhh_ref[0]
+        )
+        xr, xz, xn = jnp.split(xg, 3, axis=-1)
+        hr, hz, hn = jnp.split(hg, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+
+        dht = dh + dy_ref[t]
+        dz = dht * (h_prev - n)
+        dn = dht * (1.0 - z)
+        dn_pre = dn * (1.0 - n * n)
+        dr = dn_pre * hn
+        dr_pre = dr * r * (1.0 - r)
+        dz_pre = dz * z * (1.0 - z)
+        dhn = dn_pre * r
+        dgates_h = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)  # [B, 3H]
+        dgates_x = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
+
+        zero = jnp.zeros_like(dgates_x)
+        dxg_ref[t] = jnp.where(valid, dgates_x, zero)
+        dgates_h = jnp.where(valid, dgates_h, zero)
+
+        dw_scratch[:] += jax.lax.dot_general(
+            h_prev, dgates_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [H, 3H]
+        db_scratch[:] += jnp.sum(dgates_h, axis=0, keepdims=True)
+
+        dh_prev = dht * z + jax.lax.dot_general(
+            dgates_h, whh_t_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [B, H] = dgates_h @ whh_t.T
+        return jnp.where(valid, dh_prev, dh)
+
+    dh_scratch[:] = jax.lax.fori_loop(0, T_BLK, step, dh_scratch[:])
+    # Last write wins: on the final grid step these hold the full sums and
+    # the gradient w.r.t. the initial state.
+    dwhh_t_ref[:] = dw_scratch[:]
+    dbhh_ref[:] = db_scratch[:]
+    dh0_ref[:] = dh_scratch[:]
+
+
+def _gru_backward(x_gates_tm, w_hh, b_hh, h0, ys, dy, reverse: bool):
+    t_total, batch, three_h = x_gates_tm.shape
+    hidden = three_h // 3
+    n_chunks = pl.cdiv(t_total, T_BLK)
+    whh_t = w_hh.T
+    bhh2 = b_hh.reshape(1, three_h)
+
+    # State entering each step in recurrence order:
+    #   forward: h_prev[t] = ys[t-1], h_prev[0]    = h0
+    #   reverse: h_prev[t] = ys[t+1], h_prev[T-1]  = h0
+    if reverse:
+        h_prev = jnp.concatenate([ys[1:], h0[None]], axis=0)
+    else:
+        h_prev = jnp.concatenate([h0[None], ys[:-1]], axis=0)
+
+    def adj_map(i):
+        return (i if reverse else (n_chunks - 1 - i), 0, 0)
+
+    def rep2(i):
+        return (0, 0)
+
+    dxg, dwhh_t, dbhh, dh0 = pl.pallas_call(
+        partial(_bwd_kernel, t_total=t_total, reverse=reverse),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((T_BLK, batch, hidden), adj_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, batch, hidden), adj_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, batch, three_h), adj_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, three_h), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, three_h), rep2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((T_BLK, batch, three_h), adj_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, three_h), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, three_h), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), rep2, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_total, batch, three_h), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, three_h), jnp.float32),
+            jax.ShapeDtypeStruct((1, three_h), jnp.float32),
+            jax.ShapeDtypeStruct((batch, hidden), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((batch, hidden), jnp.float32),
+            pltpu.VMEM((hidden, three_h), jnp.float32),
+            pltpu.VMEM((1, three_h), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(dy, h_prev, x_gates_tm, whh_t, bhh2)
+    return dxg, dwhh_t.T, dbhh.reshape(three_h), dh0
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper (time-major core)
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gru_tm(reverse: bool, x_gates_tm, w_hh, b_hh, h0):
+    return _gru_forward(x_gates_tm, w_hh, b_hh, h0, reverse)
+
+
+def _gru_tm_fwd(reverse, x_gates_tm, w_hh, b_hh, h0):
+    ys = _gru_forward(x_gates_tm, w_hh, b_hh, h0, reverse)
+    return ys, (x_gates_tm, w_hh, b_hh, h0, ys)
+
+
+def _gru_tm_bwd(reverse, res, dy):
+    x_gates_tm, w_hh, b_hh, h0, ys = res
+    return _gru_backward(x_gates_tm, w_hh, b_hh, h0, ys, dy, reverse)
+
+
+_gru_tm.defvjp(_gru_tm_fwd, _gru_tm_bwd)
+
+
+def gru_sequence_pallas(x_gates, w_hh, b_hh, h0, reverse: bool = False):
+    """Drop-in for models.gru.gru_sequence: [B, T, 3H] gates -> [B, T, H]."""
+    x_tm = jnp.swapaxes(x_gates, 0, 1).astype(jnp.float32)
+    ys = _gru_tm(bool(reverse), x_tm, w_hh.astype(jnp.float32),
+                 b_hh.astype(jnp.float32), h0.astype(jnp.float32))
+    return jnp.swapaxes(ys, 0, 1)
