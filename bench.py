@@ -23,7 +23,8 @@ import numpy as np
 BASELINE_CACHE = Path(__file__).parent / ".bench_baseline.json"
 
 
-def bench_jax(batch: int, channels: int, seq: int, steps: int, warmup: int) -> float:
+def bench_jax(batch: int, channels: int, seq: int, steps: int, warmup: int,
+              gru_impl: str = "pallas") -> float:
     import jax
     import jax.numpy as jnp
     import optax
@@ -32,7 +33,9 @@ def bench_jax(batch: int, channels: int, seq: int, steps: int, warmup: int) -> f
     from multimodalsignal_tpu.train.optim import make_optimizer
     from multimodalsignal_tpu.train.trainer import cross_entropy
 
-    model = CnnGruAttentionModel(num_classes=2)
+    if jax.default_backend() != "tpu":
+        gru_impl = "scan"  # pallas interpret mode is not a perf path
+    model = CnnGruAttentionModel(num_classes=2, gru_impl=gru_impl)
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch, channels, seq), jnp.float32)
     y = jax.random.randint(rng, (batch,), 0, 2)
@@ -159,9 +162,12 @@ def main() -> None:
     p.add_argument("--seq", type=int, default=7680)
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--warmup", type=int, default=10)
+    p.add_argument("--gru-impl", choices=("scan", "pallas"), default="pallas",
+                   help="fused Pallas GRU kernel (default) or lax.scan")
     args = p.parse_args()
 
-    value = bench_jax(args.batch, args.channels, args.seq, args.steps, args.warmup)
+    value = bench_jax(args.batch, args.channels, args.seq, args.steps,
+                      args.warmup, args.gru_impl)
     baseline = get_baseline(args.batch, args.channels, args.seq)
     vs = value / baseline if np.isfinite(baseline) and baseline > 0 else None
     print(json.dumps({

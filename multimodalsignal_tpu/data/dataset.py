@@ -163,6 +163,96 @@ def build_dataset(
 
 
 @dataclass
+class HybridWindowDataset:
+    """Paired raw windows + handcrafted features (reference
+    void/dataset.py:72-198): x_raw [N, C, T], x_feat [N, F], y [N].
+
+    The model/trainer consume it as the pytree input (x_raw, x_feat) — the
+    JAX form of the reference's ((raw, feat), y) batch tuples
+    (void/dataset.py:191-198, trainer.py:130-146)."""
+
+    x_raw: np.ndarray
+    x_feat: np.ndarray
+    y: np.ndarray
+    subjects: tuple[str, ...]
+
+    def __len__(self) -> int:
+        return len(self.y)
+
+    @property
+    def x(self):
+        return (self.x_raw, self.x_feat)
+
+
+def read_feature_names(feature_path: Path | str) -> list[str]:
+    with open(Path(feature_path) / "_feature_names.txt") as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def build_hybrid_dataset(
+    raw_align_path: Path | str,
+    feature_path: Path | str,
+    subjects: list[str],
+    channels_to_use: list[str],
+    all_channel_names: list[str],
+    features_to_use: list[str] | None = None,
+    classification_mode: str = "stress_binary",
+    normalization: str = "baseline",
+) -> HybridWindowDataset:
+    """Functional equivalent of the reference HybridDataset
+    (void/dataset.py:72-186): per-subject baseline-referenced normalization of
+    BOTH streams (raw with EDA log1p, features with the 1e-3 epsilon), and
+    the reference's invariants enforced — raw-align and feature sample counts
+    and mapped labels must agree exactly (void/dataset.py:182-186)."""
+    channel_indices = [all_channel_names.index(ch) for ch in channels_to_use]
+    all_feature_names = read_feature_names(feature_path)
+    feat_idx = (
+        [all_feature_names.index(f) for f in features_to_use]
+        if features_to_use
+        else list(range(len(all_feature_names)))
+    )
+
+    raw_parts, feat_parts, y_parts, y_feat_parts, loaded = [], [], [], [], []
+    for sid in subjects:
+        raw_item = load_subject_windows(raw_align_path, sid)
+        feat_item = load_subject_windows(feature_path, sid)
+        if raw_item is None or feat_item is None:
+            continue
+        x_raw, y_raw = raw_item
+        x_feat, y_feat_raw = feat_item
+
+        x_sel = x_raw[:, :, channel_indices]
+        y, keep = map_labels(y_raw, classification_mode)
+        x_norm = normalize_subject(x_sel, y_raw, channels_to_use, normalization)
+        raw_parts.append(x_norm[keep].transpose(0, 2, 1))
+        y_parts.append(y[keep])
+
+        y_feat, keep_feat = map_labels(y_feat_raw, classification_mode)
+        x_feat_norm = normalize_features(
+            x_feat[:, feat_idx], y_feat_raw,
+            "baseline" if normalization == "baseline" else normalization,
+        )
+        feat_parts.append(x_feat_norm[keep_feat])
+        y_feat_parts.append(y_feat[keep_feat])
+        loaded.append(sid)
+
+    if not raw_parts:
+        raise ValueError(f"No hybrid data loaded for subjects: {subjects}.")
+    x_raw_all = np.concatenate(raw_parts, axis=0)
+    x_feat_all = np.concatenate(feat_parts, axis=0)
+    y_all = np.concatenate(y_parts, axis=0)
+    y_feat_all = np.concatenate(y_feat_parts, axis=0)
+    assert x_raw_all.shape[0] == x_feat_all.shape[0], (
+        f"raw sample count ({x_raw_all.shape[0]}) != "
+        f"feature sample count ({x_feat_all.shape[0]})!"
+    )
+    assert np.array_equal(y_all, y_feat_all), "raw vs feature labels differ!"
+    return HybridWindowDataset(
+        np.ascontiguousarray(x_raw_all), x_feat_all, y_all, tuple(loaded)
+    )
+
+
+@dataclass
 class PackedCorpus:
     """All subjects padded to a common window count for the sharded fold sweep.
 

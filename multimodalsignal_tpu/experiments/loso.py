@@ -75,6 +75,15 @@ def write_cv_summary(path: Path, cfg: ExperimentConfig, results: list[FoldResult
     return summary
 
 
+def balanced_class_weights(y: np.ndarray, num_classes: int) -> np.ndarray:
+    """sklearn compute_class_weight('balanced') semantics: the weighting the
+    reference's dead class-weight branch intended (reference trainer.py:80-97;
+    the `hasattr` guard at :81 made it unreachable — functional here)."""
+    counts = np.bincount(y, minlength=num_classes).astype(np.float64)
+    counts = np.maximum(counts, 1.0)
+    return (len(y) / (num_classes * counts)).astype(np.float32)
+
+
 def run_simple_experiment(
     cfg: ExperimentConfig,
     run_output_dir: Path | str,
@@ -110,8 +119,13 @@ def run_simple_experiment(
         val_ds = build_dataset(subjects=list(fold.val_subjects), **common)
         test_ds = build_dataset(subjects=[fold.test_subject], **common)
 
+        class_weights = (
+            balanced_class_weights(train_ds.y, cfg.num_classes)
+            if cfg.trainer.use_class_weights else None
+        )
         model = build_model(cfg.model, cfg.num_classes)
-        trainer = Trainer(model, fold_dir, cfg.trainer, cfg.num_classes, seed=cfg.seed)
+        trainer = Trainer(model, fold_dir, cfg.trainer, cfg.num_classes,
+                          seed=cfg.seed, class_weights=class_weights)
         trainer.train(train_ds, val_ds)
         test_loss, test_acc, test_f1 = trainer.evaluate(test_ds, is_test=True)
         results.append(FoldResult(

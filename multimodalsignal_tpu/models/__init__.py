@@ -6,6 +6,7 @@ from multimodalsignal_tpu.models.cnn_gru import (
     build_model,
 )
 from multimodalsignal_tpu.models.gru import BiGRU, gru_sequence
+from multimodalsignal_tpu.models.hybrid import HybridCnnGruModel
 
 __all__ = [
     "ChannelAttention",
@@ -15,4 +16,5 @@ __all__ = [
     "BiGRU",
     "gru_sequence",
     "build_model",
+    "HybridCnnGruModel",
 ]

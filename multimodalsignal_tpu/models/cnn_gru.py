@@ -120,7 +120,13 @@ class CnnGruModel(_CnnGruBase):
 
 def build_model(model_cfg, num_classes: int):
     """Instantiate a model from a ModelConfig (config.py)."""
-    cls = {"cnn_gru_attention": CnnGruAttentionModel, "cnn_gru": CnnGruModel}[model_cfg.name]
+    from multimodalsignal_tpu.models.hybrid import HybridCnnGruModel
+
+    cls = {
+        "cnn_gru_attention": CnnGruAttentionModel,
+        "cnn_gru": CnnGruModel,
+        "hybrid_cnn_gru": HybridCnnGruModel,
+    }[model_cfg.name]
     return cls(
         num_classes=num_classes,
         cnn_out_channels=model_cfg.cnn_out_channels,

@@ -1,0 +1,57 @@
+"""Hybrid (raw + handcrafted feature) fusion model.
+
+The reference's hybrid path is incomplete: HybridDataset yields
+((x_raw, x_feat), y) batches (void/dataset.py:191-198) and the Trainer
+handles tuple inputs (reference trainer.py:130-146), but no shipped model
+consumes the second stream. This module completes that path: the CnnGru(Att)
+trunk encodes the raw windows, a small MLP encodes the feature vector, and
+the classifier head fuses both — the natural late-fusion the dead code was
+built for.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodalsignal_tpu.models.cnn_gru import ChannelAttention, ConvEncoder
+from multimodalsignal_tpu.models.gru import BiGRU
+
+
+class HybridCnnGruModel(nn.Module):
+    """Input: pytree (x_raw [B, C, T], x_feat [B, F]) -> logits [B, classes]."""
+
+    num_classes: int = 2
+    cnn_out_channels: int = 32
+    gru_hidden_size: int = 64
+    gru_num_layers: int = 2
+    dropout: float = 0.5
+    reduction_ratio: int = 4
+    gru_impl: str = "scan"
+    use_channel_attention: bool = True
+    feat_hidden: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> jnp.ndarray:
+        x_raw, x_feat = x
+        h = jnp.swapaxes(x_raw, 1, 2)  # [B, T, C]
+        if self.use_channel_attention:
+            h = ChannelAttention(self.reduction_ratio, name="channel_attention")(h)
+        h = ConvEncoder(self.cnn_out_channels, name="cnn_encoder")(h, train=train)
+        h = BiGRU(
+            hidden_size=self.gru_hidden_size,
+            num_layers=self.gru_num_layers,
+            dropout=self.dropout if self.gru_num_layers > 1 else 0.0,
+            impl=self.gru_impl,
+            name="gru",
+        )(h, train=train)
+        h = h[:, -1, :]  # [B, 2H]
+
+        f = nn.Dense(self.feat_hidden, name="feat1")(x_feat)
+        f = nn.relu(f)
+
+        z = jnp.concatenate([h, f], axis=-1)
+        z = nn.Dense(64, name="head1")(z)
+        z = nn.relu(z)
+        z = nn.Dropout(rate=self.dropout, deterministic=not train)(z)
+        return nn.Dense(self.num_classes, name="head2")(z)

@@ -102,7 +102,9 @@ def make_epoch_fns(model, tx, num_classes: int, class_weights=None):
             state, rng, loss_sum, w_sum = carry
             batch_idx, wb = inp
             rng, dropout_rng = jax.random.split(rng)
-            xb = x[batch_idx]
+            # x may be a pytree (e.g. (x_raw, x_feat) for the hybrid path —
+            # the reference's tuple batches, trainer.py:130-146).
+            xb = jax.tree_util.tree_map(lambda a: a[batch_idx], x)
             yb = y[batch_idx]
             (loss, (new_bs, _, wsum)), grads = grad_fn(
                 state.params, state.batch_stats, xb, yb, wb, dropout_rng, True
@@ -128,7 +130,7 @@ def make_epoch_fns(model, tx, num_classes: int, class_weights=None):
         def step(carry, inp):
             loss_sum, w_sum, cm = carry
             batch_idx, wb = inp
-            xb = x[batch_idx]
+            xb = jax.tree_util.tree_map(lambda a: a[batch_idx], x)
             yb = y[batch_idx]
             logits = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
@@ -221,10 +223,12 @@ class Trainer:
 
     # -- data staging --------------------------------------------------------
     @staticmethod
-    def _stage(ds) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """Move a WindowDataset (or (x, y) pair) to device once."""
+    def _stage(ds):
+        """Move a WindowDataset / HybridWindowDataset (or (x, y) pair) to
+        device once; x may be a pytree of arrays (hybrid path)."""
         x, y = (ds.x, ds.y) if hasattr(ds, "x") else ds
-        return jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.int32)
+        x = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), x)
+        return x, jnp.asarray(y, jnp.int32)
 
     # -- training -----------------------------------------------------------
     def train(self, train_ds, val_ds) -> TrainState:
@@ -237,7 +241,7 @@ class Trainer:
 
         if self.state is None:
             rng, init_rng = jax.random.split(rng)
-            sample = x_tr[: min(2, n)]
+            sample = jax.tree_util.tree_map(lambda a: a[: min(2, n)], x_tr)
             self.state = init_train_state(self.model, init_rng, sample, self.tx)
         state = self.state
 

@@ -1,0 +1,56 @@
+"""Ablation sweep driver: grid construction, summary artifacts, ranking."""
+
+import json
+
+from multimodalsignal_tpu.config import (
+    EarlyStoppingConfig,
+    ExperimentConfig,
+    ModelConfig,
+    TrainerConfig,
+)
+from multimodalsignal_tpu.experiments.ablation import (
+    AblationConfig,
+    AblationPoint,
+    _write_summary,
+    run_ablation,
+)
+
+from tests.test_preprocess import preprocessed  # noqa: F401  (fixture reuse)
+from tests.conftest import SUBJECTS_SMALL
+
+
+def test_summary_ranking(tmp_path):
+    points = [
+        AblationPoint("b__cnn_gru", ("chest_ECG",), "cnn_gru", 0.7, 0.1, 0.68, 0.1, 5.0),
+        AblationPoint("a__cnn_gru_attention", ("chest_ECG", "chest_EDA"),
+                      "cnn_gru_attention", 0.9, 0.05, 0.88, 0.06, 9.0),
+    ]
+    _write_summary(tmp_path, points)
+    text = (tmp_path / "ablation_summary.txt").read_text()
+    # Ranked: the higher-accuracy point listed first.
+    assert text.index("a__cnn_gru_attention") < text.index("b__cnn_gru")
+    data = json.loads((tmp_path / "ablation_results.json").read_text())
+    assert len(data) == 2
+    assert data[0]["channels"] == ["chest_ECG"]
+
+
+def test_run_ablation_grid(preprocessed, tmp_path):  # noqa: F811
+    base = ExperimentConfig(
+        data_path=str(preprocessed / "chest_raw"),
+        subjects=tuple(SUBJECTS_SMALL[:3]),
+        model=ModelConfig(cnn_out_channels=8, gru_hidden_size=8, gru_num_layers=1),
+        trainer=TrainerConfig(epochs=1, batch_size=16,
+                              early_stopping=EarlyStoppingConfig(patience=3)),
+    )
+    cfg = AblationConfig(
+        base=base,
+        channel_subsets={"ecg": ("chest_ECG",)},
+        models=("cnn_gru",),
+    )
+    points = run_ablation(cfg, tmp_path, execution="serial")
+    assert len(points) == 1
+    p = points[0]
+    assert p.name == "ecg__cnn_gru"
+    assert 0.0 <= p.mean_accuracy <= 1.0
+    assert (tmp_path / "ablation_summary.txt").exists()
+    assert (tmp_path / "ecg__cnn_gru" / "cv_summary.txt").exists()

@@ -187,3 +187,14 @@ def test_cli_end_to_end(preprocessed, tmp_path):  # noqa: F811
     runs = list((tmp_path / "out" / "simple_binary").glob("run_*"))
     assert len(runs) == 1
     assert (runs[0] / "cv_summary.txt").exists()
+
+
+def test_balanced_class_weights_matches_sklearn():
+    from sklearn.utils.class_weight import compute_class_weight
+
+    from multimodalsignal_tpu.experiments.loso import balanced_class_weights
+
+    y = np.array([0] * 30 + [1] * 10)
+    got = balanced_class_weights(y, 2)
+    want = compute_class_weight("balanced", classes=np.array([0, 1]), y=y)
+    np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-6)

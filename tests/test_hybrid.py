@@ -1,0 +1,96 @@
+"""Hybrid (raw + feature) path: dataset invariants vs the reference's
+void/dataset.py semantics, model forward, and end-to-end training through the
+pytree-input trainer."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multimodalsignal_tpu.config import EarlyStoppingConfig, TrainerConfig
+from multimodalsignal_tpu.data.dataset import (
+    build_hybrid_dataset,
+    normalize_features,
+    read_channel_names,
+    read_feature_names,
+)
+from multimodalsignal_tpu.models import HybridCnnGruModel
+from multimodalsignal_tpu.train.trainer import Trainer
+
+from tests.test_preprocess import preprocessed  # noqa: F401  (fixture reuse)
+from tests.conftest import SUBJECTS_SMALL
+
+CHANNELS = ["chest_ECG", "chest_EDA", "chest_Resp"]
+
+
+@pytest.fixture(scope="module")
+def hybrid_ds(preprocessed):  # noqa: F811
+    names = read_channel_names(preprocessed / "chest_raw_align")
+    return build_hybrid_dataset(
+        preprocessed / "chest_raw_align",
+        preprocessed / "chest_feature",
+        SUBJECTS_SMALL,
+        CHANNELS,
+        names,
+        classification_mode="stress_binary",
+    )
+
+
+def test_hybrid_dataset_invariants(hybrid_ds, preprocessed):  # noqa: F811
+    assert hybrid_ds.x_raw.shape[0] == hybrid_ds.x_feat.shape[0] == len(hybrid_ds.y)
+    assert hybrid_ds.x_raw.shape[1] == len(CHANNELS)  # [N, C, T]
+    n_feats = len(read_feature_names(preprocessed / "chest_feature"))
+    assert hybrid_ds.x_feat.shape[1] == n_feats
+    assert set(np.unique(hybrid_ds.y)) <= {0, 1}
+    assert np.isfinite(hybrid_ds.x_feat).all()
+    assert np.isfinite(hybrid_ds.x_raw).all()
+
+
+def test_hybrid_feature_selection(preprocessed):  # noqa: F811
+    names = read_channel_names(preprocessed / "chest_raw_align")
+    feat_names = read_feature_names(preprocessed / "chest_feature")
+    sub = feat_names[:3]
+    ds = build_hybrid_dataset(
+        preprocessed / "chest_raw_align", preprocessed / "chest_feature",
+        SUBJECTS_SMALL[:2], CHANNELS, names, features_to_use=sub,
+    )
+    assert ds.x_feat.shape[1] == 3
+
+
+def test_feature_normalization_baseline_semantics(rng):
+    """Baseline-referenced z-score with the reference's 1e-3 epsilon
+    (void/dataset.py:161-171)."""
+    x = rng.standard_normal((20, 4)).astype(np.float64) * 5 + 2
+    y_raw = np.array([1] * 8 + [2] * 12)
+    out = normalize_features(x, y_raw, "baseline")
+    base = x[:8]
+    expected = (x - base.mean(axis=0)) / (base.std(axis=0) + 1e-3)
+    np.testing.assert_allclose(out, expected.astype(np.float32), rtol=1e-6)
+
+
+def test_hybrid_model_forward(rng):
+    model = HybridCnnGruModel(num_classes=2, gru_hidden_size=8,
+                              gru_num_layers=1, cnn_out_channels=8)
+    x_raw = jnp.asarray(rng.standard_normal((4, 3, 512)), jnp.float32)
+    x_feat = jnp.asarray(rng.standard_normal((4, 9)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), (x_raw, x_feat), train=False)
+    logits = model.apply(variables, (x_raw, x_feat), train=False)
+    assert logits.shape == (4, 2)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_hybrid_training_end_to_end(hybrid_ds, tmp_path):
+    """Trainer must handle pytree inputs (the reference's tuple batches)."""
+    model = HybridCnnGruModel(num_classes=2, gru_hidden_size=8,
+                              gru_num_layers=1, cnn_out_channels=8)
+    cfg = TrainerConfig(epochs=2, batch_size=16,
+                        early_stopping=EarlyStoppingConfig(patience=5))
+    n = len(hybrid_ds)
+    split = int(0.8 * n)
+    train = ((hybrid_ds.x_raw[:split], hybrid_ds.x_feat[:split]), hybrid_ds.y[:split])
+    val = ((hybrid_ds.x_raw[split:], hybrid_ds.x_feat[split:]), hybrid_ds.y[split:])
+    trainer = Trainer(model, tmp_path, cfg, num_classes=2, seed=0)
+    trainer.train(train, val)
+    loss, acc, f1 = trainer.evaluate(val, is_test=True)
+    assert np.isfinite(loss) and 0.0 <= acc <= 1.0
+    assert (tmp_path / "training_log.txt").exists()

@@ -55,17 +55,22 @@ def test_trainer_learns_and_writes_artifacts(tmp_path, rng):
     assert "val acc" in log and "Final test results" in log
 
 
-def test_trainer_early_stops(tmp_path, rng):
-    """With patience 1 on a noise task, training must stop well before epochs."""
-    x = rng.standard_normal((64, 2, 256)).astype(np.float32)
-    y = rng.integers(0, 2, 64).astype(np.int32)
+def test_trainer_early_stops(tmp_path):
+    """On pure noise with a DISJOINT validation set (memorizing the train set
+    cannot improve val loss), patience must fire well before the horizon.
+    Local seed: independent of fixture consumption order across test files."""
+    local = np.random.default_rng(123)
+    x = local.standard_normal((64, 2, 256)).astype(np.float32)
+    y = local.integers(0, 2, 64).astype(np.int32)
+    x_val = local.standard_normal((32, 2, 256)).astype(np.float32)
+    y_val = local.integers(0, 2, 32).astype(np.int32)
     cfg = TrainerConfig(
         epochs=50, batch_size=32, learning_rate=1e-3,
         early_stopping=EarlyStoppingConfig(patience=2),
     )
     model = CnnGruAttentionModel(num_classes=2, gru_hidden_size=8, gru_num_layers=1)
     trainer = Trainer(model, tmp_path / "f", cfg, num_classes=2, seed=0)
-    trainer.train((x, y), (x[:16], y[:16]))
+    trainer.train((x, y), (x_val, y_val))
     assert len(trainer.history) < 50
 
 
