@@ -69,6 +69,7 @@ class ModelConfig:
     dropout: float = 0.5
     reduction_ratio: int = 4  # ChannelAttention squeeze factor (models.py:12)
     gru_impl: str = "scan"  # "scan" (lax.scan) | "pallas" (fused kernel)
+    dtype: str = "float32"  # compute dtype: "float32" | "bfloat16" (params f32)
 
 
 @dataclass(frozen=True)
@@ -105,7 +106,6 @@ class TrainerConfig:
     # Reference reloads best weights only when early stop fired (trainer.py:185);
     # we always restore the best checkpoint unless this replicates the quirk.
     legacy_restore_only_on_early_stop: bool = False
-    compute_dtype: str = "float32"  # "float32" | "bfloat16"
 
 
 @dataclass(frozen=True)

@@ -26,6 +26,7 @@ class ChannelAttention(nn.Module):
     """Squeeze-and-excitation-style gate over signal channels."""
 
     reduction_ratio: int = 4
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -41,9 +42,9 @@ class ChannelAttention(nn.Module):
             # the dead zero-width parameters and apply 0.5 directly.
             return x * 0.5
         squeezed = x.mean(axis=1)  # AdaptiveAvgPool1d(1) over time
-        y = nn.Dense(hidden, use_bias=False, name="fc1")(squeezed)
+        y = nn.Dense(hidden, use_bias=False, dtype=self.dtype, name="fc1")(squeezed)
         y = nn.relu(y)
-        y = nn.Dense(c, use_bias=False, name="fc2")(y)
+        y = nn.Dense(c, use_bias=False, dtype=self.dtype, name="fc2")(y)
         y = nn.sigmoid(y)
         return x * y[:, None, :]
 
@@ -56,20 +57,22 @@ class ConvEncoder(nn.Module):
     """
 
     out_channels: int = 32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         # x: [B, T, C]
         x = nn.Conv(16, kernel_size=(7,), strides=(2,), padding=[(3, 3)],
-                    use_bias=False, name="conv1")(x)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn1")(x)
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, window_shape=(3,), strides=(2,), padding=[(1, 1)])
         x = nn.Conv(self.out_channels, kernel_size=(5,), strides=(2,),
-                    padding=[(2, 2)], use_bias=False, name="conv2")(x)
+                    padding=[(2, 2)], use_bias=False, dtype=self.dtype,
+                    name="conv2")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn2")(x)
+                         epsilon=1e-5, dtype=self.dtype, name="bn2")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, window_shape=(3,), strides=(2,), padding=[(1, 1)])
         return x  # [B, T/16, out_channels]
@@ -84,26 +87,34 @@ class _CnnGruBase(nn.Module):
     reduction_ratio: int = 4
     gru_impl: str = "scan"
     use_channel_attention: bool = True
+    # Compute dtype for the conv/GRU/head math; params stay float32 and the
+    # logits are cast back to float32 for the loss (bfloat16 feeds the MXU at
+    # twice the fp32 rate — SURVEY.md §7 / BASELINE.md perf lever).
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         # x: [B, C, T] (reference layout) -> [B, T, C] (TPU-native)
-        x = jnp.swapaxes(x, 1, 2)
+        x = jnp.swapaxes(x, 1, 2).astype(self.dtype)
         if self.use_channel_attention:
-            x = ChannelAttention(self.reduction_ratio, name="channel_attention")(x)
-        x = ConvEncoder(self.cnn_out_channels, name="cnn_encoder")(x, train=train)
+            x = ChannelAttention(self.reduction_ratio, dtype=self.dtype,
+                                 name="channel_attention")(x)
+        x = ConvEncoder(self.cnn_out_channels, dtype=self.dtype,
+                        name="cnn_encoder")(x, train=train)
         x = BiGRU(
             hidden_size=self.gru_hidden_size,
             num_layers=self.gru_num_layers,
             dropout=self.dropout if self.gru_num_layers > 1 else 0.0,
             impl=self.gru_impl,
+            dtype=self.dtype,
             name="gru",
         )(x, train=train)
         x = x[:, -1, :]  # last timestep (reference models.py:79)
-        x = nn.Dense(64, name="head1")(x)
+        x = nn.Dense(64, dtype=self.dtype, name="head1")(x)
         x = nn.relu(x)
         x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
-        return nn.Dense(self.num_classes, name="head2")(x)
+        x = nn.Dense(self.num_classes, dtype=self.dtype, name="head2")(x)
+        return x.astype(jnp.float32)
 
 
 class CnnGruAttentionModel(_CnnGruBase):
@@ -135,4 +146,5 @@ def build_model(model_cfg, num_classes: int):
         dropout=model_cfg.dropout,
         reduction_ratio=model_cfg.reduction_ratio,
         gru_impl=model_cfg.gru_impl,
+        dtype=jnp.dtype(getattr(model_cfg, "dtype", "float32")),
     )

@@ -66,13 +66,14 @@ class BiGRU(nn.Module):
     num_layers: int = 1
     dropout: float = 0.0
     impl: str = "scan"  # "scan" | "pallas"
+    dtype: jnp.dtype = jnp.float32  # compute dtype; params stay float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         h = self.hidden_size
         bound = 1.0 / h**0.5  # torch GRU init: U(-1/sqrt(H), 1/sqrt(H))
         batch = x.shape[0]
-        out = x
+        out = x.astype(self.dtype)
         for layer in range(self.num_layers):
             in_dim = out.shape[-1]
             dir_outputs = []
@@ -82,12 +83,19 @@ class BiGRU(nn.Module):
                 w_hh = self.param(f"{pfx}_w_hh", _uniform_init(bound), (3 * h, h))
                 b_ih = self.param(f"{pfx}_b_ih", _uniform_init(bound), (3 * h,))
                 b_hh = self.param(f"{pfx}_b_hh", _uniform_init(bound), (3 * h,))
+                w_ih, w_hh, b_ih, b_hh = (
+                    p.astype(self.dtype) for p in (w_ih, w_hh, b_ih, b_hh)
+                )
                 x_gates = out @ w_ih.T + b_ih  # [B, T, 3H] one big matmul
                 h0 = jnp.zeros((batch, h), dtype=out.dtype)
                 if self.impl == "pallas":
                     from multimodalsignal_tpu.ops.gru_pallas import gru_sequence_pallas
 
-                    y = gru_sequence_pallas(x_gates, w_hh, b_hh, h0, reverse=reverse)
+                    # Kernel computes in float32; cast back to the compute
+                    # dtype so inter-layer math stays uniform.
+                    y = gru_sequence_pallas(
+                        x_gates, w_hh, b_hh, h0, reverse=reverse
+                    ).astype(self.dtype)
                 else:
                     y = gru_sequence(x_gates, w_hh, b_hh, h0, reverse=reverse)
                 dir_outputs.append(y)

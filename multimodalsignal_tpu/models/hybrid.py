@@ -30,28 +30,34 @@ class HybridCnnGruModel(nn.Module):
     gru_impl: str = "scan"
     use_channel_attention: bool = True
     feat_hidden: int = 32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> jnp.ndarray:
         x_raw, x_feat = x
-        h = jnp.swapaxes(x_raw, 1, 2)  # [B, T, C]
+        h = jnp.swapaxes(x_raw, 1, 2).astype(self.dtype)  # [B, T, C]
         if self.use_channel_attention:
-            h = ChannelAttention(self.reduction_ratio, name="channel_attention")(h)
-        h = ConvEncoder(self.cnn_out_channels, name="cnn_encoder")(h, train=train)
+            h = ChannelAttention(self.reduction_ratio, dtype=self.dtype,
+                                 name="channel_attention")(h)
+        h = ConvEncoder(self.cnn_out_channels, dtype=self.dtype,
+                        name="cnn_encoder")(h, train=train)
         h = BiGRU(
             hidden_size=self.gru_hidden_size,
             num_layers=self.gru_num_layers,
             dropout=self.dropout if self.gru_num_layers > 1 else 0.0,
             impl=self.gru_impl,
+            dtype=self.dtype,
             name="gru",
         )(h, train=train)
         h = h[:, -1, :]  # [B, 2H]
 
-        f = nn.Dense(self.feat_hidden, name="feat1")(x_feat)
+        f = nn.Dense(self.feat_hidden, dtype=self.dtype, name="feat1")(
+            x_feat.astype(self.dtype))
         f = nn.relu(f)
 
         z = jnp.concatenate([h, f], axis=-1)
-        z = nn.Dense(64, name="head1")(z)
+        z = nn.Dense(64, dtype=self.dtype, name="head1")(z)
         z = nn.relu(z)
         z = nn.Dropout(rate=self.dropout, deterministic=not train)(z)
-        return nn.Dense(self.num_classes, name="head2")(z)
+        z = nn.Dense(self.num_classes, dtype=self.dtype, name="head2")(z)
+        return z.astype(jnp.float32)

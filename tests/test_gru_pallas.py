@@ -95,3 +95,24 @@ def test_bigru_pallas_grad_through_module(rng):
     for gw, gg in zip(flat_w, flat_g):
         np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_vmap_composition(rng):
+    """The fold sweep vmaps the model over folds — the kernel must compose
+    with vmap (batched grid) and stay parity with scan."""
+    f, b, t, h = 3, 2, 70, 4
+    xg = jnp.asarray(rng.standard_normal((f, b, t, 3 * h)), jnp.float32)
+    whh = jnp.asarray(rng.standard_normal((f, 3 * h, h)) * 0.3, jnp.float32)
+    bhh = jnp.asarray(rng.standard_normal((f, 3 * h)) * 0.1, jnp.float32)
+    h0 = jnp.zeros((f, b, h), jnp.float32)
+    want = jax.vmap(lambda a, w, c, d: gru_sequence(a, w, c, d))(xg, whh, bhh, h0)
+    got = jax.vmap(lambda a, w, c, d: gru_sequence_pallas(a, w, c, d))(xg, whh, bhh, h0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+    def loss(fn, w):
+        return jnp.sum(jax.vmap(lambda a, ww, c, d: fn(a, ww, c, d))(xg, w, bhh, h0) ** 2)
+
+    g_want = jax.grad(lambda w: loss(gru_sequence, w))(whh)
+    g_got = jax.grad(lambda w: loss(gru_sequence_pallas, w))(whh)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               rtol=2e-4, atol=2e-4)

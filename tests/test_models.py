@@ -239,3 +239,26 @@ def test_grads_flow(rng):
     norms = [float(jnp.abs(g).max()) for g in jax.tree_util.tree_leaves(grads)]
     assert all(np.isfinite(n) for n in norms)
     assert max(norms) > 0
+
+
+def test_bfloat16_compute_path(rng):
+    """dtype='bfloat16' computes in bf16 (params stay f32) and returns f32
+    logits close to the f32 path."""
+    import jax
+    import jax.numpy as jnp
+    from multimodalsignal_tpu.models import CnnGruAttentionModel
+
+    x = jnp.asarray(rng.standard_normal((4, 3, 512)), jnp.float32)
+    m32 = CnnGruAttentionModel(num_classes=2, gru_hidden_size=8, gru_num_layers=1)
+    m16 = CnnGruAttentionModel(num_classes=2, gru_hidden_size=8, gru_num_layers=1,
+                               dtype=jnp.bfloat16)
+    variables = m32.init(jax.random.PRNGKey(0), x, train=False)
+    # Params must be float32 regardless of compute dtype.
+    leaves = jax.tree_util.tree_leaves(variables["params"])
+    assert all(p.dtype == jnp.float32 for p in leaves)
+    out32 = m32.apply(variables, x, train=False)
+    out16 = m16.apply(variables, x, train=False)
+    assert out16.dtype == jnp.float32
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                               rtol=0.1, atol=0.1)
