@@ -106,6 +106,11 @@ class TrainerConfig:
     # Reference reloads best weights only when early stop fired (trainer.py:185);
     # we always restore the best checkpoint unless this replicates the quirk.
     legacy_restore_only_on_early_stop: bool = False
+    # Mid-run resumability (absent in the reference — SURVEY.md §5): write the
+    # full (train state, best state, scheduler/early-stop state, epoch) every
+    # N epochs; 0 disables. `resume=True` continues from that file if present.
+    checkpoint_every: int = 0
+    resume: bool = False
 
 
 @dataclass(frozen=True)

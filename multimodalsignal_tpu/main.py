@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dotted-path config override, e.g. trainer.epochs=50")
     p.add_argument("--output-dir", type=Path, default=None,
                    help="override the run output root")
+    p.add_argument("--profile-dir", type=Path, default=None,
+                   help="write a jax.profiler device trace of the sharded sweep")
     return p
 
 
@@ -94,7 +96,7 @@ def main(argv=None) -> None:
     if execution == "sharded":
         from multimodalsignal_tpu.parallel.fold_sweep import run_sharded_experiment
 
-        run_sharded_experiment(cfg, run_dir)
+        run_sharded_experiment(cfg, run_dir, profile_dir=args.profile_dir)
     else:
         from multimodalsignal_tpu.experiments.loso import run_simple_experiment
 

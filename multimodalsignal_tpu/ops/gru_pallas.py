@@ -32,10 +32,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Time-chunk length per grid step. 64 keeps the [T_BLK, B, 3H] gate block
-# ~3 MB at the flagship shape (B=64, H=64) — well inside VMEM with room for
-# the output block and scratch.
+# Maximum time-chunk length per grid step; the actual chunk is sized from a
+# VMEM budget (time-blocked refs are double-buffered by the pipeline, and the
+# whole working set must stay under the ~16 MB scoped-vmem limit — the
+# backward kernel's dy+hprev+xg+dxg blocks OOM at the flagship shape if the
+# chunk is fixed at 64).
 T_BLK = 64
+_VMEM_BUDGET_BYTES = 6 * 1024 * 1024  # per buffer set; x2 for double buffering
+
+
+def _pick_t_blk(per_step_bytes: int, t_total: int) -> int:
+    """Largest multiple-of-8 chunk (capped at T_BLK) whose double-buffered
+    time-blocked working set fits the VMEM budget."""
+    blk = min(T_BLK, max(8, (_VMEM_BUDGET_BYTES // max(per_step_bytes, 1)) // 8 * 8))
+    return min(blk, max(8, -(-t_total // 8) * 8))
 
 
 def _interpret() -> bool:
@@ -47,7 +57,7 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(xg_ref, whh_t_ref, bhh_ref, h0_ref, out_ref, h_scratch,
-                *, t_total: int, reverse: bool):
+                *, t_total: int, t_blk: int, reverse: bool):
     """One time-chunk of the GRU recurrence.
 
     xg_ref  [T_BLK, B, 3H]  precomputed input gates for this chunk
@@ -67,11 +77,11 @@ def _fwd_kernel(xg_ref, whh_t_ref, bhh_ref, h0_ref, out_ref, h_scratch,
     # Chunk index in TIME order: the grid walks the recurrence order, which
     # for the reverse direction is the last chunk first.
     chunk = (n_chunks - 1 - i) if reverse else i
-    base = chunk * T_BLK
+    base = chunk * t_blk
 
     def step(k, h):
         # k-th step inside the chunk, in recurrence order.
-        t = (T_BLK - 1 - k) if reverse else k
+        t = (t_blk - 1 - k) if reverse else k
         valid = (base + t) < t_total
         xg = xg_ref[t]
         hg = (
@@ -88,14 +98,16 @@ def _fwd_kernel(xg_ref, whh_t_ref, bhh_ref, h0_ref, out_ref, h_scratch,
         out_ref[t] = h_new
         return h_new
 
-    h_scratch[:] = jax.lax.fori_loop(0, T_BLK, step, h_scratch[:])
+    h_scratch[:] = jax.lax.fori_loop(0, t_blk, step, h_scratch[:])
 
 
 def _gru_forward(x_gates_tm, w_hh, b_hh, h0, reverse: bool):
     """x_gates_tm [T, B, 3H] time-major -> ys [T, B, H]."""
     t_total, batch, three_h = x_gates_tm.shape
     hidden = three_h // 3
-    n_chunks = pl.cdiv(t_total, T_BLK)
+    # Working set per time step: xg block + out block (double-buffered).
+    t_blk = _pick_t_blk(batch * (three_h + hidden) * 4, t_total)
+    n_chunks = pl.cdiv(t_total, t_blk)
     whh_t = w_hh.T  # [H, 3H]
     bhh2 = b_hh.reshape(1, three_h)
 
@@ -103,10 +115,10 @@ def _gru_forward(x_gates_tm, w_hh, b_hh, h0, reverse: bool):
         return ((n_chunks - 1 - i) if reverse else i, 0, 0)
 
     return pl.pallas_call(
-        partial(_fwd_kernel, t_total=t_total, reverse=reverse),
+        partial(_fwd_kernel, t_total=t_total, t_blk=t_blk, reverse=reverse),
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((T_BLK, batch, three_h), chunk_map,
+            pl.BlockSpec((t_blk, batch, three_h), chunk_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, three_h), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -115,7 +127,7 @@ def _gru_forward(x_gates_tm, w_hh, b_hh, h0, reverse: bool):
             pl.BlockSpec((batch, hidden), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((T_BLK, batch, hidden), chunk_map,
+        out_specs=pl.BlockSpec((t_blk, batch, hidden), chunk_map,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t_total, batch, hidden), jnp.float32),
         scratch_shapes=[pltpu.VMEM((batch, hidden), jnp.float32)],
@@ -130,7 +142,7 @@ def _gru_forward(x_gates_tm, w_hh, b_hh, h0, reverse: bool):
 def _bwd_kernel(dy_ref, hprev_ref, xg_ref, whh_t_ref, bhh_ref,
                 dxg_ref, dwhh_t_ref, dbhh_ref, dh0_ref,
                 dh_scratch, dw_scratch, db_scratch,
-                *, t_total: int, reverse: bool):
+                *, t_total: int, t_blk: int, reverse: bool):
     """Adjoint of one time-chunk.
 
     hprev_ref [T_BLK, B, H]: the hidden state ENTERING each step (ys shifted
@@ -151,11 +163,11 @@ def _bwd_kernel(dy_ref, hprev_ref, xg_ref, whh_t_ref, bhh_ref,
     # The adjoint walks chunks opposite to the recurrence order: for the
     # forward direction that is last chunk first.
     chunk = i if reverse else (n_chunks - 1 - i)
-    base = chunk * T_BLK
+    base = chunk * t_blk
 
     def step(k, dh):
         # Iterate steps inside the chunk opposite to recurrence order.
-        t = k if reverse else (T_BLK - 1 - k)
+        t = k if reverse else (t_blk - 1 - k)
         valid = (base + t) < t_total
         # Mask the state itself: padded-block reads can be NaN/garbage and a
         # NaN times a zeroed dgates_h still poisons the dW accumulator.
@@ -198,7 +210,7 @@ def _bwd_kernel(dy_ref, hprev_ref, xg_ref, whh_t_ref, bhh_ref,
         )  # [B, H] = dgates_h @ whh_t.T
         return jnp.where(valid, dh_prev, dh)
 
-    dh_scratch[:] = jax.lax.fori_loop(0, T_BLK, step, dh_scratch[:])
+    dh_scratch[:] = jax.lax.fori_loop(0, t_blk, step, dh_scratch[:])
     # Last write wins: on the final grid step these hold the full sums and
     # the gradient w.r.t. the initial state.
     dwhh_t_ref[:] = dw_scratch[:]
@@ -209,7 +221,9 @@ def _bwd_kernel(dy_ref, hprev_ref, xg_ref, whh_t_ref, bhh_ref,
 def _gru_backward(x_gates_tm, w_hh, b_hh, h0, ys, dy, reverse: bool):
     t_total, batch, three_h = x_gates_tm.shape
     hidden = three_h // 3
-    n_chunks = pl.cdiv(t_total, T_BLK)
+    # Working set per time step: dy + hprev + xg + dxg blocks.
+    t_blk = _pick_t_blk(batch * (2 * hidden + 2 * three_h) * 4, t_total)
+    n_chunks = pl.cdiv(t_total, t_blk)
     whh_t = w_hh.T
     bhh2 = b_hh.reshape(1, three_h)
 
@@ -228,17 +242,17 @@ def _gru_backward(x_gates_tm, w_hh, b_hh, h0, ys, dy, reverse: bool):
         return (0, 0)
 
     dxg, dwhh_t, dbhh, dh0 = pl.pallas_call(
-        partial(_bwd_kernel, t_total=t_total, reverse=reverse),
+        partial(_bwd_kernel, t_total=t_total, t_blk=t_blk, reverse=reverse),
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((T_BLK, batch, hidden), adj_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_BLK, batch, hidden), adj_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_BLK, batch, three_h), adj_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_blk, batch, hidden), adj_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_blk, batch, hidden), adj_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_blk, batch, three_h), adj_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, three_h), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, three_h), rep2, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((T_BLK, batch, three_h), adj_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_blk, batch, three_h), adj_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, three_h), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, three_h), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((batch, hidden), rep2, memory_space=pltpu.VMEM),

@@ -405,6 +405,7 @@ def run_sharded_experiment(
     run_output_dir: Path | str,
     all_channel_names: list[str] | None = None,
     devices=None,
+    profile_dir: str | Path | None = None,
 ) -> tuple[list[FoldResult], dict]:
     """End-to-end sharded LOSOCV: pack corpus -> sweep -> reference artifacts
     (per-fold training logs, cv_summary.txt). Drop-in replacement for
@@ -429,7 +430,16 @@ def run_sharded_experiment(
           f"[{mesh.devices.flat[0].platform}]")
     print("=" * 80)
 
-    result = run_fold_sweep(corpus, fb, cfg, mesh)
+    # Optional device trace of the whole sweep (the reference's only
+    # observability was wall-clock prints — SURVEY.md §5 tracing).
+    if profile_dir is not None:
+        jax.profiler.start_trace(str(profile_dir))
+    try:
+        result = run_fold_sweep(corpus, fb, cfg, mesh)
+    finally:
+        if profile_dir is not None:
+            jax.profiler.stop_trace()
+            print(f"Profiler trace written to: {profile_dir}")
 
     results: list[FoldResult] = []
     for i, subject in enumerate(fb.test_subjects):

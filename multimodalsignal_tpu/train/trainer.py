@@ -252,14 +252,27 @@ class Trainer:
         val_idx, val_w = batch_indices(int(y_va.shape[0]), cfg.batch_size)
         val_idx, val_w = jnp.asarray(val_idx), jnp.asarray(val_w)
 
+        # Mid-run resume (no equivalent in the reference, SURVEY.md §5):
+        # restore the full pytree and replay the RNG stream for determinism.
+        start_epoch = 0
+        if cfg.resume and self._resume_path().exists():
+            state, best_state, es_state, pl_state, start_epoch = self._load_resume(
+                (state, best_state, es_state, pl_state)
+            )
+            self._log(f"Resumed from epoch {start_epoch}")
+            for _ in range(start_epoch):
+                batch_indices(n, cfg.batch_size, self.steps_per_epoch, rng_np)
+                rng, _ = jax.random.split(rng)
+
         stopped = False
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             t_start = time.time()
             idx, w = batch_indices(n, cfg.batch_size, self.steps_per_epoch, rng_np)
             rng, epoch_rng = jax.random.split(rng)
-            state, train_loss = self._train_epoch(
-                state, x_tr, y_tr, jnp.asarray(idx), jnp.asarray(w), epoch_rng
-            )
+            with jax.profiler.StepTraceAnnotation("train_epoch", step_num=epoch):
+                state, train_loss = self._train_epoch(
+                    state, x_tr, y_tr, jnp.asarray(idx), jnp.asarray(w), epoch_rng
+                )
             val_loss, cm, _ = self._eval(state, x_va, y_va, val_idx, val_w)
             val_acc = float(M.accuracy_from_cm(cm))
             val_f1 = float(M.weighted_f1_from_cm(cm))
@@ -299,6 +312,9 @@ class Trainer:
                     stopped = True
                     break
 
+            if cfg.checkpoint_every > 0 and (epoch + 1) % cfg.checkpoint_every == 0:
+                self._save_resume((state, best_state, es_state, pl_state), epoch + 1)
+
         if es_cfg.enabled and (stopped or not cfg.legacy_restore_only_on_early_stop):
             # Reference reloads best weights only after an early stop
             # (trainer.py:185-187); default here restores best always.
@@ -336,6 +352,29 @@ class Trainer:
         from multimodalsignal_tpu.train.checkpoints import save_state
 
         save_state(self.fold_dir / "best_model.msgpack", state)
+
+    # -- mid-run resume -------------------------------------------------------
+    def _resume_path(self) -> Path:
+        return self.fold_dir / "resume_state.msgpack"
+
+    def _save_resume(self, bundle, next_epoch: int) -> None:
+        import json
+
+        from multimodalsignal_tpu.train.checkpoints import save_state
+
+        save_state(self._resume_path(), bundle)
+        (self.fold_dir / "resume_meta.json").write_text(
+            json.dumps({"next_epoch": next_epoch})
+        )
+
+    def _load_resume(self, template):
+        import json
+
+        from multimodalsignal_tpu.train.checkpoints import restore_state
+
+        bundle = restore_state(self._resume_path(), template)
+        meta = json.loads((self.fold_dir / "resume_meta.json").read_text())
+        return (*bundle, meta["next_epoch"])
 
     def plot_confusion_matrix(self, true_labels, pred_labels, filename="confusion_matrix.png"):
         """Heatmap PNG with the reference's class-count-dependent label sets

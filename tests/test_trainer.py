@@ -109,3 +109,34 @@ def test_lockstep_steps_equivalent_updates(tmp_path, rng):
     la = [h.train_loss for h in tr_a.history]
     lb = [h.train_loss for h in tr_b.history]
     np.testing.assert_allclose(la, lb, rtol=1e-5)
+
+
+def test_mid_run_resume_bitwise(tmp_path, rng):
+    """Interrupt-and-resume must reproduce the uninterrupted run exactly
+    (full state + replayed RNG streams) — capability absent in the reference
+    (SURVEY.md §5 checkpoint/resume)."""
+    import dataclasses
+
+    x, y = _toy_problem(rng, n=48)
+    xv, yv = _toy_problem(rng, n=16)
+    base = TrainerConfig(epochs=4, batch_size=16, learning_rate=3e-3,
+                         early_stopping=EarlyStoppingConfig(patience=10))
+    model = CnnGruAttentionModel(num_classes=2, gru_hidden_size=8, gru_num_layers=1)
+
+    # Uninterrupted 4-epoch run.
+    t_full = Trainer(model, tmp_path / "full", base, num_classes=2, seed=7)
+    t_full.train((x, y), (xv, yv))
+
+    # 2 epochs with checkpointing, then resume to 4 in a fresh Trainer.
+    cfg_a = dataclasses.replace(base, epochs=2, checkpoint_every=1)
+    t_a = Trainer(model, tmp_path / "part", cfg_a, num_classes=2, seed=7)
+    t_a.train((x, y), (xv, yv))
+    cfg_b = dataclasses.replace(base, resume=True)
+    t_b = Trainer(model, tmp_path / "part", cfg_b, num_classes=2, seed=7)
+    t_b.train((x, y), (xv, yv))
+
+    import jax
+    for got, want in zip(jax.tree_util.tree_leaves(t_b.state.params),
+                         jax.tree_util.tree_leaves(t_full.state.params)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert [h.epoch for h in t_b.history] == [3, 4]
