@@ -68,7 +68,8 @@ class ModelConfig:
     gru_num_layers: int = 2
     dropout: float = 0.5
     reduction_ratio: int = 4  # ChannelAttention squeeze factor (models.py:12)
-    gru_impl: str = "scan"  # "scan" (lax.scan) | "pallas" (fused kernel)
+    # "auto" = fused Pallas kernel on TPU, lax.scan elsewhere.
+    gru_impl: str = "auto"  # "auto" | "scan" | "pallas"
     dtype: str = "float32"  # compute dtype: "float32" | "bfloat16" (params f32)
 
 

@@ -52,7 +52,11 @@ def map_labels(y_raw: np.ndarray, mode: str) -> tuple[np.ndarray, np.ndarray]:
 
     Returns (y_mapped, keep_mask). For stress_binary/ternary every window is
     kept (reference dataset.py:29-32); amusement_binary keeps only Base/Fun.
+    The legacy name "binary" (reference void/dataset.py:97, the pre-rename
+    stress mode) is accepted as an alias for stress_binary.
     """
+    if mode == "binary":
+        mode = "stress_binary"
     if mode == "stress_binary":
         return np.where(y_raw == 2, 1, 0).astype(np.int32), np.ones(len(y_raw), bool)
     if mode == "ternary":

@@ -22,11 +22,22 @@ stays in a tight host loop.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 from scipy import signal as sps
 from scipy.stats import linregress
 
 from multimodalsignal_tpu.data.resample import fourier_resample_np
+
+
+@lru_cache(maxsize=None)
+def _butter_sos(order: int, lo: float, hi: float | None, btype: str, fs: float):
+    """Cached filter design: scipy.signal.butter dominates per-window cost
+    when re-designed for every window (654 designs/subject in profiling); the
+    coefficients depend only on (order, cutoffs, fs)."""
+    wn = lo if hi is None else (lo, hi)
+    return sps.butter(order, wn, btype=btype, fs=fs, output="sos")
 
 FEATURE_NAMES = (
     "HRV_RMSSD",
@@ -49,7 +60,7 @@ FEATURE_NAMES = (
 def detect_r_peaks(ecg: np.ndarray, fs: float) -> np.ndarray:
     """R-peak detection: QRS bandpass -> squared energy -> moving integration
     -> adaptive-threshold peaks (Pan-Tompkins-style)."""
-    sos = sps.butter(3, [5.0, 30.0], btype="bandpass", fs=fs, output="sos")
+    sos = _butter_sos(3, 5.0, 30.0, "bandpass", fs)
     filt = sps.sosfiltfilt(sos, ecg)
     energy = filt**2
     win = max(int(0.12 * fs), 1)
@@ -150,7 +161,7 @@ def eda_features(eda: np.ndarray, fs: float) -> dict[str, float]:
     x = fourier_resample_np(eda, num)
     # Tonic = slow component (highpass-method decomposition at 0.05 Hz,
     # the same cutoff neurokit2's default eda_phasic uses).
-    sos = sps.butter(2, 0.05, btype="lowpass", fs=target_fs, output="sos")
+    sos = _butter_sos(2, 0.05, None, "lowpass", target_fs)
     tonic = sps.sosfiltfilt(sos, x)
     phasic = x - tonic
     # SCR peaks: amplitude-gated local maxima of the phasic component.
@@ -168,7 +179,7 @@ def resp_features(resp: np.ndarray, fs: float) -> dict[str, float]:
     """Breath-rate mean and variability (the RSP_Rate mean/std the reference
     pulls from neurokit2's rsp_process, preprocess.py:110-117)."""
     resp = np.asarray(resp, dtype=np.float64)
-    sos = sps.butter(2, [0.05, 1.0], btype="bandpass", fs=fs, output="sos")
+    sos = _butter_sos(2, 0.05, 1.0, "bandpass", fs)
     filt = sps.sosfiltfilt(sos, resp)
     min_dist = int(fs / 0.8)  # max 48 breaths/min
     prominence = 0.2 * np.std(filt)

@@ -92,7 +92,10 @@ def preprocess_subject(
             protocol, TASK_TO_LABEL_MAP, cfg.original_chest_fs, cfg.raw_fs,
             cfg.raw_window_sec, cfg.raw_stride_sec,
         )
-        X_raw = sliding_windows(raw, raw_starts, cfg.raw_window_samples)
+        # float32 before the big gather: halves the window copy and the .npy
+        # write (the dataset layer casts to float32 regardless).
+        X_raw = sliding_windows(raw.astype(np.float32), raw_starts,
+                                cfg.raw_window_samples)
         if "raw" in cfg.targets:
             out["raw"] = (X_raw, raw_labels)
 
@@ -102,11 +105,14 @@ def preprocess_subject(
             cfg.feature_window_sec, cfg.feature_stride_sec,
         )
         window_samples = cfg.feature_window_sec * cfg.feature_fs
-        win = sliding_windows(feat, f_starts, window_samples)  # [N, T, 8]
+        # Gather only the 4 feature channels (float64 kept for the
+        # scipy-oracle feature math).
         ch_index = {name: i for i, name in enumerate(ALL_CHANNEL_NAMES)}
+        feature_sensors = ("ECG", "EDA", "EMG", "Resp")
+        cols = [ch_index[f"chest_{s}"] for s in feature_sensors]
+        win = sliding_windows(feat[:, cols], f_starts, window_samples)  # [N, T, 4]
         channel_windows = {
-            f"chest_{s}": win[:, :, ch_index[f"chest_{s}"]]
-            for s in ("ECG", "EDA", "EMG", "Resp")
+            f"chest_{s}": win[:, :, i] for i, s in enumerate(feature_sensors)
         }
         X_feat = extract_features_batch(channel_windows, cfg.feature_fs)
         X_feat = np.nan_to_num(X_feat, nan=0.0, posinf=0.0, neginf=0.0)
@@ -133,8 +139,27 @@ def preprocess_subject(
 _TARGET_DIRS = {"raw": "chest_raw", "raw-align": "chest_raw_align", "feature": "chest_feature"}
 
 
-def run_preprocessing(cfg: PreprocessConfig) -> None:
-    """Process all subjects and write npy outputs + name files."""
+def _process_and_save(args) -> list[str]:
+    """Worker: one subject end-to-end (module-level for multiprocessing)."""
+    sid, cfg, output = args
+    result = preprocess_subject(sid, cfg)
+    if result is None:
+        return []
+    lines = []
+    for target, (X, y) in result.items():
+        d = Path(output) / _TARGET_DIRS[target]
+        np.save(d / f"{sid}_X.npy", X)
+        np.save(d / f"{sid}_y.npy", y)
+        lines.append(f"  - {sid} ({target}): saved {len(y)} windows, X shape {X.shape}")
+    return lines
+
+
+def run_preprocessing(cfg: PreprocessConfig, workers: int = 0) -> None:
+    """Process all subjects and write npy outputs + name files.
+
+    workers > 1 fans subjects across processes (the per-window feature math
+    is host-CPU bound; subjects are embarrassingly parallel — the reference
+    loops them serially under tqdm, preprocess.py:138)."""
     output = Path(cfg.output_path)
     for target in cfg.targets:
         d = output / _TARGET_DIRS[target]
@@ -144,15 +169,18 @@ def run_preprocessing(cfg: PreprocessConfig) -> None:
         else:
             _write_names(d / "_feature_names.txt", FEATURE_NAMES)
 
-    for sid in cfg.subjects:
-        result = preprocess_subject(sid, cfg)
-        if result is None:
-            continue
-        for target, (X, y) in result.items():
-            d = output / _TARGET_DIRS[target]
-            np.save(d / f"{sid}_X.npy", X)
-            np.save(d / f"{sid}_y.npy", y)
-            print(f"  - {sid} ({target}): saved {len(y)} windows, X shape {X.shape}")
+    jobs = [(sid, cfg, str(output)) for sid in cfg.subjects]
+    if workers and workers > 1 and len(jobs) > 1:
+        import multiprocessing as mp
+
+        with mp.get_context("spawn").Pool(min(workers, len(jobs))) as pool:
+            for lines in pool.imap(_process_and_save, jobs):
+                for line in lines:
+                    print(line)
+    else:
+        for job in jobs:
+            for line in _process_and_save(job):
+                print(line)
     print("Preprocessing complete.")
 
 
@@ -165,6 +193,8 @@ def main(argv=None) -> None:
         choices=list(_TARGET_DIRS),
     )
     p.add_argument("--subjects", nargs="*", default=None)
+    p.add_argument("--workers", type=int, default=0,
+                   help="process this many subjects in parallel (0 = serial)")
     args = p.parse_args(argv)
     cfg = PreprocessConfig(
         wesad_root=args.wesad_root,
@@ -172,7 +202,7 @@ def main(argv=None) -> None:
         targets=tuple(args.targets),
         subjects=tuple(args.subjects) if args.subjects else PreprocessConfig.subjects,
     )
-    run_preprocessing(cfg)
+    run_preprocessing(cfg, workers=args.workers)
 
 
 if __name__ == "__main__":

@@ -24,7 +24,6 @@ host-side exactly like the reference's loop, as pure state machines
 from __future__ import annotations
 
 import time
-from functools import partial
 from pathlib import Path
 from typing import Any, NamedTuple
 
