@@ -293,9 +293,31 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
         es0 = early_stopping_init()
         pl0 = plateau_init(tcfg.learning_rate)
         best0 = (init_state.params, init_state.batch_stats)
+
+        # Epoch loop as while_loop, not scan: the sweep exits as soon as
+        # EVERY fold has early-stopped (under vmap the condition batches to
+        # an any(), so lockstep ends at the slowest fold's stop instead of
+        # always paying the full fixed horizon).
+        epochs = tcfg.epochs
+        zeros_e = jnp.zeros((epochs,), jnp.float32)
+        logs0 = (zeros_e, zeros_e, zeros_e, zeros_e, zeros_e,
+                 jnp.zeros((epochs,), jnp.bool_))
+
+        def loop_cond(loop_carry):
+            epoch, (_, _, _, _, _, stopped), _ = loop_carry
+            return jnp.logical_and(epoch < epochs, jnp.logical_not(stopped))
+
+        def loop_body(loop_carry):
+            epoch, carry, logs = loop_carry
+            carry, log = epoch_body(carry, epoch)
+            logs = jax.tree_util.tree_map(
+                lambda arr, v: arr.at[epoch].set(v), logs, log
+            )
+            return epoch + 1, carry, logs
+
         carry0 = (init_state, best0, es0, pl0, rng, jnp.asarray(False))
-        (state, best, es, pl, _, _), logs = jax.lax.scan(
-            epoch_body, carry0, jnp.arange(tcfg.epochs)
+        _, (state, best, es, pl, _, _), logs = jax.lax.while_loop(
+            loop_cond, loop_body, (jnp.asarray(0, jnp.int32), carry0, logs0)
         )
         train_loss, val_loss, val_acc, val_f1, lr, ran = logs
 
