@@ -38,7 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 # backward kernel's dy+hprev+xg+dxg blocks OOM at the flagship shape if the
 # chunk is fixed at 64).
 T_BLK = 64
-_VMEM_BUDGET_BYTES = 6 * 1024 * 1024  # per buffer set; x2 for double buffering
+# Per buffer set; the pipeline double-buffers (x2) and vmapping the kernel
+# over a fold axis adds further scoped overhead — 4 MB keeps the flagship
+# backward (observed 18.3 MB at a 6 MB budget under vmap) inside the 16 MB
+# scoped-vmem limit with margin.
+_VMEM_BUDGET_BYTES = 4 * 1024 * 1024
 
 
 def _pick_t_blk(per_step_bytes: int, t_total: int) -> int:

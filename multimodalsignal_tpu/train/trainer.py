@@ -72,6 +72,26 @@ def cross_entropy(logits, labels, weights, class_weights=None):
     return (ce * w).sum() / total_w, w.sum()
 
 
+# Cache of jitted (train_epoch, eval_dataset) closures. The serial LOSO loop
+# builds a fresh Trainer per fold (reference main.py:116-123); without this,
+# every fold re-traces and re-compiles identical programs. flax Modules are
+# frozen dataclasses (hashable by value), so identical model configs share
+# compiled executables across folds.
+_EPOCH_FN_CACHE: dict = {}
+
+
+def make_epoch_fns_cached(model, tx_key: tuple, tx, num_classes: int,
+                          class_weights=None):
+    cw_key = (
+        None if class_weights is None
+        else (class_weights.shape, tuple(np.asarray(class_weights).tolist()))
+    )
+    key = (model, tx_key, num_classes, cw_key)
+    if key not in _EPOCH_FN_CACHE:
+        _EPOCH_FN_CACHE[key] = make_epoch_fns(model, tx, num_classes, class_weights)
+    return _EPOCH_FN_CACHE[key]
+
+
 def make_epoch_fns(model, tx, num_classes: int, class_weights=None):
     """Build (train_epoch, eval_dataset) pure functions for one model/optim.
 
@@ -208,7 +228,9 @@ class Trainer:
         self.steps_per_epoch = steps_per_epoch
         self.tx = make_optimizer(cfg.learning_rate, cfg.weight_decay)
         cw = jnp.asarray(class_weights, jnp.float32) if class_weights is not None else None
-        self._train_epoch, self._eval = make_epoch_fns(model, self.tx, num_classes, cw)
+        self._train_epoch, self._eval = make_epoch_fns_cached(
+            model, (cfg.learning_rate, cfg.weight_decay), self.tx, num_classes, cw
+        )
         self.state: TrainState | None = None
         self.best_state: TrainState | None = None
         self.history: list[EpochLog] = []
