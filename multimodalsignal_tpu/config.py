@@ -112,6 +112,10 @@ class TrainerConfig:
     # N epochs; 0 disables. `resume=True` continues from that file if present.
     checkpoint_every: int = 0
     resume: bool = False
+    # Rematerialize forward activations in the sweep's backward pass
+    # (jax.checkpoint): trades ~1.3x FLOPs for a large activation-memory cut —
+    # needed when all folds' train steps run concurrently on one chip.
+    remat: bool = True
 
 
 @dataclass(frozen=True)

@@ -193,14 +193,23 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
     es_cfg = tcfg.early_stopping
     batch = tcfg.batch_size
 
+    def apply_train(params, batch_stats, xb, dropout_rng):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            xb, train=True, rngs={"dropout": dropout_rng},
+            mutable=["batch_stats"],
+        )
+
+    if tcfg.remat:
+        # All folds' activations are live at once in the vmapped step;
+        # recompute them in the backward instead of storing them.
+        apply_train = jax.checkpoint(apply_train)
+
     def loss_and_grads(state: TrainState, x, y, xb_idx, wb, dropout_rng):
         def loss_fn(params):
-            out = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                x[xb_idx], train=True, rngs={"dropout": dropout_rng},
-                mutable=["batch_stats"],
+            logits, new_bs = apply_train(
+                params, state.batch_stats, x[xb_idx], dropout_rng
             )
-            logits, new_bs = out
             loss, wsum = cross_entropy(logits, y[xb_idx], wb)
             return loss, (new_bs["batch_stats"], wsum)
 
