@@ -71,11 +71,11 @@ def load_config(args) -> ExperimentConfig | HierarchicalConfig:
 
 
 def make_run_dir(cfg, output_dir: Path | None) -> Path:
+    from multimodalsignal_tpu.utils.run import make_run_dir as _make
+
     base_cfg = cfg.base if isinstance(cfg, HierarchicalConfig) else cfg
     root = Path(output_dir) if output_dir else Path(base_cfg.output_dir)
-    run_dir = root / cfg.run_name / f"run_{time.strftime('%Y%m%d_%H%M%S')}"
-    run_dir.mkdir(parents=True, exist_ok=True)
-    return run_dir
+    return _make(root, cfg.run_name)
 
 
 def main(argv=None) -> None:

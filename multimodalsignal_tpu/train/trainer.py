@@ -43,6 +43,7 @@ from multimodalsignal_tpu.train.optim import (
     plateau_update,
     set_learning_rate,
 )
+from multimodalsignal_tpu.utils.run import TeeLogger
 
 
 class TrainState(struct.PyTreeNode):
@@ -220,9 +221,10 @@ class Trainer:
         self.fold_dir = Path(fold_output_dir)
         self.fold_dir.mkdir(parents=True, exist_ok=True)
         self.log_file = self.fold_dir / "training_log.txt"
-        self.log_file.write_text(
-            f"Training log for run starting at {time.strftime('%Y-%m-%d %H:%M:%S')}\n"
-            + "=" * 50 + "\n"
+        self._tee = TeeLogger(
+            self.log_file,
+            header=f"Training log for run starting at "
+                   f"{time.strftime('%Y-%m-%d %H:%M:%S')}",
         )
         self.seed = seed
         self.steps_per_epoch = steps_per_epoch
@@ -238,9 +240,7 @@ class Trainer:
 
     # -- logging ------------------------------------------------------------
     def _log(self, message: str) -> None:
-        print(message)
-        with open(self.log_file, "a") as f:
-            f.write(message + "\n")
+        self._tee(message)
 
     # -- data staging --------------------------------------------------------
     @staticmethod

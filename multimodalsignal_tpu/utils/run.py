@@ -1,0 +1,32 @@
+"""Run-directory + logging utilities.
+
+Parity targets: reference main.py:73-75 (output/<run_name>/run_<timestamp>/)
+and trainer.py:113-117 (messages teed to stdout and a log file).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+
+def make_run_dir(output_root: Path | str, run_name: str) -> Path:
+    """Create output/<run_name>/run_<timestamp>/ (reference main.py:73-75)."""
+    run_dir = Path(output_root) / run_name / f"run_{time.strftime('%Y%m%d_%H%M%S')}"
+    run_dir.mkdir(parents=True, exist_ok=True)
+    return run_dir
+
+
+class TeeLogger:
+    """Tee messages to stdout and a log file (reference trainer.py:113-117)."""
+
+    def __init__(self, log_file: Path | str, header: str | None = None):
+        self.log_file = Path(log_file)
+        self.log_file.parent.mkdir(parents=True, exist_ok=True)
+        if header is not None:
+            self.log_file.write_text(header + "\n" + "=" * 50 + "\n")
+
+    def __call__(self, message: str) -> None:
+        print(message)
+        with open(self.log_file, "a") as f:
+            f.write(message + "\n")
