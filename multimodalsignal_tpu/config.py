@@ -140,6 +140,10 @@ class ExperimentConfig:
     # Fold execution: "serial" python loop (reference main.py:98) or "sharded"
     # — all folds as one vmapped computation over a `fold` mesh axis.
     fold_execution: str = "sharded"
+    # Sharded-sweep dispatch: "per_epoch" jits one all-folds epoch program and
+    # loops epochs host-side (short executions, fast compile); "fused"
+    # compiles the whole sweep (epoch while_loop included) into one program.
+    sweep_dispatch: str = "per_epoch"
 
     def __post_init__(self):
         if self.classification_mode not in CLASSIFICATION_MODES:

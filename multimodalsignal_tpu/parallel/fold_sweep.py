@@ -235,9 +235,10 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
         (loss_sum, w_sum, cm), _ = jax.lax.scan(step, init, (idx, w))
         return loss_sum / jnp.maximum(w_sum, 1e-12), cm
 
-    def fold_program(x, y, fb_train_pool, fb_n_train, fb_val_pool, fb_n_val,
-                     fb_test_pool, fb_n_test, init_state: TrainState, rng):
-        """Full train-to-test lifecycle of ONE fold; vmapped over folds."""
+    def epoch_program(x, y, fb_train_pool, fb_n_train, fb_val_pool, fb_n_val,
+                      carry, epoch):
+        """One training epoch of ONE fold (vmapped over folds); masked to a
+        no-op once the fold has early-stopped."""
         val_idx, val_w = _sequential_grid(fb_val_pool, fb_n_val, steps_va, batch)
 
         def epoch_body(carry, epoch):
@@ -299,14 +300,39 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
                    jnp.logical_not(stopped))
             return (state, new_best, es, pl, rng, new_stopped), log
 
+        return epoch_body(carry, epoch)
+
+    def init_carry(init_state: TrainState, rng):
         es0 = early_stopping_init()
         pl0 = plateau_init(tcfg.learning_rate)
         best0 = (init_state.params, init_state.batch_stats)
+        return (init_state, best0, es0, pl0, rng, jnp.asarray(False))
 
-        # Epoch loop as while_loop, not scan: the sweep exits as soon as
-        # EVERY fold has early-stopped (under vmap the condition batches to
-        # an any(), so lockstep ends at the slowest fold's stop instead of
-        # always paying the full fixed horizon).
+    def finalize_program(x, y, fb_test_pool, fb_n_test, carry):
+        """Restore the best state and evaluate the held-out subject."""
+        state, best, es, pl, _, _ = carry
+        # Reference default here: always restore the best checkpoint
+        # (fixed variant of reference trainer.py:185-187).
+        best_params, best_bs = best
+        restore = jnp.logical_not(
+            jnp.asarray(tcfg.legacy_restore_only_on_early_stop)
+        ) | es.should_stop
+        final_state = jax.tree_util.tree_map(
+            lambda b, s: jnp.where(jnp.logical_and(es_cfg.enabled, restore), b, s),
+            TrainState(best_params, best_bs, state.opt_state), state,
+        )
+        test_idx, test_w = _sequential_grid(fb_test_pool, fb_n_test, steps_te, batch)
+        test_loss, test_cm = eval_pass(final_state, x, y, test_idx, test_w)
+        return test_loss, test_cm, es.best_epoch
+
+    def fold_program(x, y, fb_train_pool, fb_n_train, fb_val_pool, fb_n_val,
+                     fb_test_pool, fb_n_test, init_state: TrainState, rng):
+        """Fused mode: the full train-to-test lifecycle of ONE fold as a
+        single program. Epoch loop as while_loop, not scan: the sweep exits
+        as soon as EVERY fold has early-stopped (under vmap the condition
+        batches to an any(), so lockstep ends at the slowest fold's stop
+        instead of always paying the full fixed horizon).
+        """
         epochs = tcfg.epochs
         zeros_e = jnp.zeros((epochs,), jnp.float32)
         logs0 = (zeros_e, zeros_e, zeros_e, zeros_e, zeros_e,
@@ -318,40 +344,37 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
 
         def loop_body(loop_carry):
             epoch, carry, logs = loop_carry
-            carry, log = epoch_body(carry, epoch)
+            carry, log = epoch_program(
+                x, y, fb_train_pool, fb_n_train, fb_val_pool, fb_n_val,
+                carry, epoch,
+            )
             logs = jax.tree_util.tree_map(
                 lambda arr, v: arr.at[epoch].set(v), logs, log
             )
             return epoch + 1, carry, logs
 
-        carry0 = (init_state, best0, es0, pl0, rng, jnp.asarray(False))
-        _, (state, best, es, pl, _, _), logs = jax.lax.while_loop(
+        carry0 = init_carry(init_state, rng)
+        _, carry, logs = jax.lax.while_loop(
             loop_cond, loop_body, (jnp.asarray(0, jnp.int32), carry0, logs0)
         )
         train_loss, val_loss, val_acc, val_f1, lr, ran = logs
-
-        # Reference default here: always restore the best checkpoint
-        # (fixed variant of reference trainer.py:185-187).
-        best_params, best_bs = best
-        restore = jnp.logical_not(
-            jnp.asarray(tcfg.legacy_restore_only_on_early_stop)
-        ) | es.should_stop
-        final_state = jax.tree_util.tree_map(
-            lambda b, s: jnp.where(jnp.logical_and(es_cfg.enabled, restore), b, s),
-            TrainState(best_params, best_bs, state.opt_state), state,
+        test_loss, test_cm, best_epoch = finalize_program(
+            x, y, fb_test_pool, fb_n_test, carry
         )
-
-        test_idx, test_w = _sequential_grid(fb_test_pool, fb_n_test, steps_te, batch)
-        test_loss, test_cm = eval_pass(final_state, x, y, test_idx, test_w)
         return SweepResult(
             history=SweepHistory(train_loss, val_loss, val_acc, val_f1, lr),
-            best_epoch=es.best_epoch,
+            best_epoch=best_epoch,
             stop_epoch=ran.astype(jnp.int32).sum(),
             test_loss=test_loss,
             test_cm=test_cm,
         )
 
-    return fold_program
+    return {
+        "epoch": epoch_program,
+        "init_carry": init_carry,
+        "finalize": finalize_program,
+        "fold_program": fold_program,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -363,9 +386,14 @@ def run_fold_sweep(
     fb: FoldBatch,
     cfg: ExperimentConfig,
     mesh: Mesh | None = None,
+    dispatch: str | None = None,
 ) -> SweepResult:
-    """Compile + run every fold as one sharded computation; returns per-fold
-    stacked SweepResult (fold axis first, padded folds included)."""
+    """Run every fold as one sharded, vmapped computation; returns per-fold
+    stacked SweepResult (fold axis first, padded folds included).
+
+    dispatch: "per_epoch" (default) jits one all-folds epoch program and
+    loops epochs host-side; "fused" compiles the entire sweep (epoch
+    while_loop included) into a single XLA program."""
     num_folds = fb.train_pool.shape[0]
     if mesh is None:
         mesh, padded = make_fold_mesh(num_folds)
@@ -377,6 +405,7 @@ def run_fold_sweep(
     tx = make_optimizer(cfg.trainer.learning_rate, cfg.trainer.weight_decay)
     batch = cfg.trainer.batch_size
 
+    dispatch = dispatch or getattr(cfg, "sweep_dispatch", "per_epoch")
     x_flat, y_flat, _ = corpus.flat()
     x = jnp.asarray(x_flat, jnp.float32)
     y = jnp.asarray(y_flat, jnp.int32)
@@ -402,7 +431,7 @@ def run_fold_sweep(
 
     init_states, run_rngs = jax.vmap(init_fold)(fold_rngs)
 
-    program = _make_fold_program(
+    programs = _make_fold_program(
         model, tx, cfg, steps_tr, steps_va, steps_te, cfg.num_classes
     )
 
@@ -412,23 +441,73 @@ def run_fold_sweep(
     def put_folded(tree):
         return jax.device_put(tree, fold_sharding)
 
-    args = (
-        jax.device_put(x, repl),
-        jax.device_put(y, repl),
-        put_folded(jnp.asarray(fb.train_pool)),
-        put_folded(jnp.asarray(fb.n_train)),
-        put_folded(jnp.asarray(fb.val_pool)),
-        put_folded(jnp.asarray(fb.n_val)),
-        put_folded(jnp.asarray(fb.test_pool)),
-        put_folded(jnp.asarray(fb.n_test)),
-        jax.device_put(init_states, fold_sharding),
-        put_folded(run_rngs),
-    )
+    x_dev = jax.device_put(x, repl)
+    y_dev = jax.device_put(y, repl)
+    tr_pool = put_folded(jnp.asarray(fb.train_pool))
+    n_tr = put_folded(jnp.asarray(fb.n_train))
+    va_pool = put_folded(jnp.asarray(fb.val_pool))
+    n_va = put_folded(jnp.asarray(fb.n_val))
+    te_pool = put_folded(jnp.asarray(fb.test_pool))
+    n_te = put_folded(jnp.asarray(fb.n_test))
+    init_states = jax.device_put(init_states, fold_sharding)
+    run_rngs = put_folded(run_rngs)
 
-    sweep = jax.jit(jax.vmap(program, in_axes=(None, None) + (0,) * 8))
+    if dispatch == "fused":
+        sweep = jax.jit(
+            jax.vmap(programs["fold_program"], in_axes=(None, None) + (0,) * 8)
+        )
+        with mesh:
+            result = sweep(x_dev, y_dev, tr_pool, n_tr, va_pool, n_va,
+                           te_pool, n_te, init_states, run_rngs)
+        return jax.tree_util.tree_map(np.asarray, result)
+
+    # "per_epoch" (default): one short XLA execution per epoch, all folds in
+    # lockstep. Same math as fused mode, but: (a) compiles the epoch program
+    # once instead of a 100-epoch while_loop (minutes less compile time on
+    # remote-compiled TPU runtimes); (b) keeps device executions short, which
+    # tunneled single-chip runtimes tolerate far better than one multi-minute
+    # program; (c) gives the host per-epoch progress + early exit when every
+    # fold has stopped.
+    epoch_fn = jax.jit(
+        jax.vmap(programs["epoch"], in_axes=(None, None, 0, 0, 0, 0, 0, None)),
+    )
+    finalize_fn = jax.jit(
+        jax.vmap(programs["finalize"], in_axes=(None, None, 0, 0, 0))
+    )
+    carry = jax.vmap(programs["init_carry"])(init_states, run_rngs)
+    carry = jax.device_put(carry, fold_sharding)
+
+    epochs = cfg.trainer.epochs
+    logs = []
+    epochs_ran = 0
     with mesh:
-        result = sweep(*args)
-    return jax.tree_util.tree_map(np.asarray, result)
+        for epoch in range(epochs):
+            carry, log = epoch_fn(x_dev, y_dev, tr_pool, n_tr, va_pool, n_va,
+                                  carry, jnp.asarray(epoch, jnp.int32))
+            logs.append(log)
+            epochs_ran = epoch + 1
+            stopped = carry[5]
+            if bool(np.asarray(stopped).all()):
+                break
+        test_loss, test_cm, best_epoch = finalize_fn(
+            x_dev, y_dev, te_pool, n_te, carry
+        )
+
+    # Stack per-epoch logs to [F, epochs] (zero-padded past the exit).
+    stacked = [np.asarray(jnp.stack(column, axis=1)) for column in zip(*logs)]
+    padded_logs = []
+    for arr in stacked:
+        out = np.zeros((num_folds, epochs), dtype=arr.dtype)
+        out[:, :epochs_ran] = arr
+        padded_logs.append(out)
+    train_loss, val_loss, val_acc, val_f1, lr, ran = padded_logs
+    return SweepResult(
+        history=SweepHistory(train_loss, val_loss, val_acc, val_f1, lr),
+        best_epoch=np.asarray(best_epoch),
+        stop_epoch=ran.astype(np.int32).sum(axis=1),
+        test_loss=np.asarray(test_loss),
+        test_cm=np.asarray(test_cm),
+    )
 
 
 def run_sharded_experiment(

@@ -114,3 +114,39 @@ def test_sharded_experiment_end_to_end(preprocessed, tmp_path):  # noqa: F811
     # History must be finite for the epochs that ran.
     accs = [r.accuracy for r in results]
     assert np.isfinite(accs).all()
+
+
+def test_dispatch_modes_equivalent():
+    """'fused' (single XLA program) and 'per_epoch' (host epoch loop) must
+    produce bit-identical per-fold results."""
+    import dataclasses
+
+    from multimodalsignal_tpu.data.dataset import PackedCorpus
+    from multimodalsignal_tpu.parallel.fold_sweep import run_fold_sweep
+    from jax.sharding import Mesh
+
+    rng_np = np.random.default_rng(0)
+    s, wmax, c, t = 4, 12, 2, 128
+    corpus = PackedCorpus(
+        x=rng_np.standard_normal((s, wmax, c, t)).astype(np.float32),
+        y=rng_np.integers(0, 2, (s, wmax)).astype(np.int32),
+        mask=np.ones((s, wmax), dtype=bool),
+        subjects=tuple(f"S{i+2}" for i in range(s)),
+    )
+    fb = build_fold_batch(corpus, list(corpus.subjects), pad_folds_to=4)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("fold",))
+    cfg = ExperimentConfig(
+        subjects=corpus.subjects,
+        channels_to_use=("chest_ECG", "chest_EDA"),
+        model=ModelConfig(cnn_out_channels=4, gru_hidden_size=4, gru_num_layers=1),
+        trainer=TrainerConfig(epochs=2, batch_size=8,
+                              early_stopping=EarlyStoppingConfig(patience=1)),
+    )
+    r_fused = run_fold_sweep(corpus, fb, cfg, mesh, dispatch="fused")
+    r_epoch = run_fold_sweep(corpus, fb, cfg, mesh, dispatch="per_epoch")
+    np.testing.assert_array_equal(np.asarray(r_fused.test_cm),
+                                  np.asarray(r_epoch.test_cm))
+    np.testing.assert_array_equal(np.asarray(r_fused.history.val_loss),
+                                  np.asarray(r_epoch.history.val_loss))
+    np.testing.assert_array_equal(np.asarray(r_fused.stop_epoch),
+                                  np.asarray(r_epoch.stop_epoch))
