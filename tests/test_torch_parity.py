@@ -103,3 +103,35 @@ def test_forward_parity_with_torch_reference(rng, gru_impl):
     variables = transplant_weights(tm, variables)
     got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_adam_weight_decay_parity_with_torch():
+    """Our optax chain must reproduce torch.optim.Adam(weight_decay=...)
+    exactly (L2 added to the gradient BEFORE the moments, unlike AdamW —
+    reference trainer.py:68 semantics) over several steps."""
+    from multimodalsignal_tpu.train.optim import make_optimizer
+    import optax
+
+    rng = np.random.default_rng(0)
+    w0 = rng.standard_normal((6, 4)).astype(np.float32)
+    grads = [rng.standard_normal((6, 4)).astype(np.float32) for _ in range(5)]
+    lr, wd = 1e-3, 1e-4
+
+    # torch
+    wt = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.Adam([wt], lr=lr, weight_decay=wd)
+    for g in grads:
+        opt.zero_grad()
+        wt.grad = torch.from_numpy(g.copy())
+        opt.step()
+
+    # ours
+    tx = make_optimizer(lr, wd)
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["w"]), wt.detach().numpy(),
+                               rtol=1e-6, atol=1e-7)
