@@ -135,3 +135,27 @@ def test_adam_weight_decay_parity_with_torch():
 
     np.testing.assert_allclose(np.asarray(params["w"]), wt.detach().numpy(),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_plateau_scheduler_parity_with_torch():
+    """plateau_update must match torch ReduceLROnPlateau(mode='min',
+    factor=0.1, patience=3, rel threshold) step-for-step on a noisy loss
+    sequence (reference trainer.py:72-77)."""
+    from multimodalsignal_tpu.train.optim import plateau_init, plateau_update
+
+    lr0, factor, patience = 1e-3, 0.1, 3
+    w = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([w], lr=lr0)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=factor, patience=patience)
+
+    losses = [1.0, 0.9, 0.95, 0.94, 0.93, 0.93, 0.93, 0.92999, 0.5, 0.51,
+              0.52, 0.53, 0.54, 0.55, 0.4]
+    state = plateau_init(lr0)
+    torch_lrs, ours_lrs = [], []
+    for loss in losses:
+        sched.step(loss)
+        torch_lrs.append(opt.param_groups[0]["lr"])
+        state = plateau_update(state, loss, factor=factor, patience=patience)
+        ours_lrs.append(float(state.lr))
+    np.testing.assert_allclose(ours_lrs, torch_lrs, rtol=1e-6)
