@@ -59,9 +59,15 @@ def write_cv_summary(path: Path, cfg: ExperimentConfig, results: list[FoldResult
     lines.append("")
     lines.append("Per-fold results:")
     for r in results:
+        extra = ""
+        if r.epochs_run >= 0:
+            extra = f" (epochs: {r.epochs_run}, best: {r.best_epoch}"
+            extra += f", test loss: {r.test_loss:.4f}" if np.isfinite(r.test_loss) else ""
+            extra += f", {r.wall_s:.1f}s" if np.isfinite(r.wall_s) else ""
+            extra += ")"
         lines.append(
             f"  - test {r.subject}: Accuracy = {r.accuracy:.4f}, "
-            f"F1-score = {r.f1_score:.4f}"
+            f"F1-score = {r.f1_score:.4f}{extra}"
         )
     lines.append("")
     lines.append("Final mean performance:")

@@ -480,14 +480,23 @@ def run_fold_sweep(
     epochs = cfg.trainer.epochs
     logs = []
     epochs_ran = 0
+    t_train = time.time()
     with mesh:
         for epoch in range(epochs):
             carry, log = epoch_fn(x_dev, y_dev, tr_pool, n_tr, va_pool, n_va,
                                   carry, jnp.asarray(epoch, jnp.int32))
             logs.append(log)
             epochs_ran = epoch + 1
-            stopped = carry[5]
-            if bool(np.asarray(stopped).all()):
+            stopped = np.asarray(carry[5])
+            if epoch == 0 or (epoch + 1) % 10 == 0 or stopped.all():
+                val_loss = np.asarray(log[1])
+                active = int((~stopped).sum())
+                print(f"  epoch {epoch + 1}/{epochs} | "
+                      f"mean val loss {float(val_loss.mean()):.4f} | "
+                      f"{active} folds active | "
+                      f"{time.time() - t_train:.1f}s", flush=True)
+            if stopped.all():
+                print(f"  all folds early-stopped at epoch {epoch + 1}")
                 break
         test_loss, test_cm, best_epoch = finalize_fn(
             x_dev, y_dev, te_pool, n_te, carry
