@@ -44,12 +44,14 @@ def bench_jax(batch: int, channels: int, seq: int, steps: int, warmup: int,
     tx = make_optimizer(1e-3, 1e-4)
     opt_state = tx.init(variables["params"])
 
-    @jax.jit
-    def train_step(params, batch_stats, opt_state, x, y, rng):
+    def train_step(carry, i):
+        params, batch_stats, opt_state = carry
+
         def loss_fn(params):
             (logits, new_bs) = model.apply(
                 {"params": params, "batch_stats": batch_stats},
-                x, train=True, rngs={"dropout": rng}, mutable=["batch_stats"],
+                x, train=True, rngs={"dropout": jax.random.fold_in(rng, i)},
+                mutable=["batch_stats"],
             )
             loss, _ = cross_entropy(logits, y, w)
             return loss, new_bs["batch_stats"]
@@ -57,21 +59,25 @@ def bench_jax(batch: int, channels: int, seq: int, steps: int, warmup: int,
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        return new_params, new_bs, new_opt, loss
+        return (new_params, new_bs, new_opt), loss
 
-    params, bs = variables["params"], variables.get("batch_stats", {})
-    for i in range(warmup):
-        params, bs, opt_state, loss = train_step(
-            params, bs, opt_state, x, y, jax.random.fold_in(rng, i)
-        )
+    # Device-side step loop: one dispatch per `steps`-long scan, so remote
+    # per-call dispatch latency (large on tunneled runtimes) never pollutes
+    # the steps/sec measurement.
+    @jax.jit
+    def train_many(carry, offset):
+        return jax.lax.scan(train_step, carry,
+                            offset + jnp.arange(steps, dtype=jnp.int32))
+
+    carry = (variables["params"], variables.get("batch_stats", {}), opt_state)
+    carry, loss = train_many(carry, jnp.asarray(0, jnp.int32))  # compile+warm
     jax.block_until_ready(loss)
+    reps = 3
     t0 = time.perf_counter()
-    for i in range(steps):
-        params, bs, opt_state, loss = train_step(
-            params, bs, opt_state, x, y, jax.random.fold_in(rng, i)
-        )
+    for r in range(1, reps + 1):
+        carry, loss = train_many(carry, jnp.asarray(r * steps, jnp.int32))
     jax.block_until_ready(loss)
-    return steps / (time.perf_counter() - t0)
+    return reps * steps / (time.perf_counter() - t0)
 
 
 def bench_torch_baseline(batch: int, channels: int, seq: int, steps: int) -> float:

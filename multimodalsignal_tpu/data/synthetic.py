@@ -49,15 +49,22 @@ def synthesize_subject(
     tasks=DEFAULT_TASKS,
     fs: int = 700,
     seed: int | None = None,
+    subject_variability: float = 1.0,
+    noise: float = 1.0,
 ) -> tuple[dict, str]:
-    """Build one subject: (pickle-ready dict, quest CSV text)."""
+    """Build one subject: (pickle-ready dict, quest CSV text).
+
+    subject_variability scales the cross-subject physiological offsets and
+    noise scales all additive noise — raise both (e.g. 2.5 / 4.0) to make
+    LOSO generalization non-trivial, so early stopping and cross-subject
+    normalization behave like they do on real WESAD."""
     if seed is None:
         seed = abs(hash(subject_id)) % (2**31)
     rng = np.random.default_rng(seed)
     # Subject-specific physiological offsets: makes the per-subject
     # normalization in the dataset layer load-bearing, like real WESAD.
-    hr_off = rng.uniform(-8, 8)
-    eda_off = rng.uniform(0.5, 2.0)
+    hr_off = rng.uniform(-8, 8) * subject_variability
+    eda_off = rng.uniform(0.5, 2.0) ** subject_variability
 
     segments = {k: [] for k in ("ACC", "ECG", "EDA", "EMG", "Resp", "Temp")}
     order, starts, ends = [], [], []
@@ -67,8 +74,10 @@ def synthesize_subject(
         cond = _CONDITION.get(key, _CONDITION["Base"])
         n = int(dur_min * 60 * fs)
         t = np.arange(n) / fs
-        hr_hz = (cond["hr"] + hr_off + rng.uniform(-2, 2)) / 60.0
+        hr_hz = max(cond["hr"] + hr_off + rng.uniform(-2, 2) * noise, 35.0) / 60.0
         ecg = _ecg_like(t, hr_hz, rng)
+        if noise != 1.0:
+            ecg += 0.02 * (noise - 1.0) * rng.standard_normal(n)
         scr_events = rng.poisson(max(cond["eda"] - 1.0, 0.2) * dur_min)
         eda = np.full(n, cond["eda"] * eda_off) + 0.1 * np.sin(2 * np.pi * 0.01 * t)
         for _ in range(scr_events):
@@ -76,8 +85,10 @@ def synthesize_subject(
             tau = rng.uniform(1.0, 4.0) * fs
             rise = np.clip(np.arange(n) - onset, 0, None)
             eda += 0.4 * (rise / tau) * np.exp(1 - rise / tau)
-        eda += 0.01 * rng.standard_normal(n)
-        resp = np.sin(2 * np.pi * cond["resp"] / 60.0 * t) + 0.05 * rng.standard_normal(n)
+        eda += 0.01 * noise * rng.standard_normal(n)
+        resp_rate = cond["resp"] + 0.3 * hr_off
+        resp = (np.sin(2 * np.pi * resp_rate / 60.0 * t)
+                + 0.05 * noise * rng.standard_normal(n))
         emg = cond["emg"] * rng.standard_normal(n)
         temp = 34.0 + 0.2 * np.sin(2 * np.pi * 0.001 * t) + 0.01 * rng.standard_normal(n)
         acc = 0.1 * rng.standard_normal((n, 3)) + np.array([0.0, 0.0, 1.0])
@@ -116,11 +127,16 @@ def write_synthetic_wesad(
     tasks=DEFAULT_TASKS,
     fs: int = 700,
     seed: int = 0,
+    subject_variability: float = 1.0,
+    noise: float = 1.0,
 ) -> Path:
     """Write a synthetic WESAD tree: root/S*/S*.pkl + root/S*/S*_quest.csv."""
     root = Path(root)
     for i, sid in enumerate(subjects):
-        data, quest = synthesize_subject(sid, tasks=tasks, fs=fs, seed=seed + i)
+        data, quest = synthesize_subject(
+            sid, tasks=tasks, fs=fs, seed=seed + i,
+            subject_variability=subject_variability, noise=noise,
+        )
         subj_dir = root / sid
         subj_dir.mkdir(parents=True, exist_ok=True)
         with open(subj_dir / f"{sid}.pkl", "wb") as f:

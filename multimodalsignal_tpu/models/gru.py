@@ -81,30 +81,51 @@ class BiGRU(nn.Module):
         out = x.astype(self.dtype)
         for layer in range(self.num_layers):
             in_dim = out.shape[-1]
-            dir_outputs = []
-            for direction, reverse in (("fwd", False), ("bwd", True)):
+            params = {}
+            for direction in ("fwd", "bwd"):
                 pfx = f"l{layer}_{direction}"
-                w_ih = self.param(f"{pfx}_w_ih", _uniform_init(bound), (3 * h, in_dim))
-                w_hh = self.param(f"{pfx}_w_hh", _uniform_init(bound), (3 * h, h))
-                b_ih = self.param(f"{pfx}_b_ih", _uniform_init(bound), (3 * h,))
-                b_hh = self.param(f"{pfx}_b_hh", _uniform_init(bound), (3 * h,))
-                w_ih, w_hh, b_ih, b_hh = (
-                    p.astype(self.dtype) for p in (w_ih, w_hh, b_ih, b_hh)
+                params[direction] = tuple(
+                    self.param(f"{pfx}_{name}", _uniform_init(bound), shape).astype(
+                        self.dtype
+                    )
+                    for name, shape in (
+                        ("w_ih", (3 * h, in_dim)),
+                        ("w_hh", (3 * h, h)),
+                        ("b_ih", (3 * h,)),
+                        ("b_hh", (3 * h,)),
+                    )
                 )
-                x_gates = out @ w_ih.T + b_ih  # [B, T, 3H] one big matmul
-                h0 = jnp.zeros((batch, h), dtype=out.dtype)
-                if impl == "pallas":
-                    from multimodalsignal_tpu.ops.gru_pallas import gru_sequence_pallas
+            h0 = jnp.zeros((batch, h), dtype=out.dtype)
+            (wif, whf, bif, bhf), (wib, whb, bib, bhb) = (
+                params["fwd"], params["bwd"],
+            )
+            xg_f = out @ wif.T + bif  # [B, T, 3H] one big matmul per direction
+            xg_b = out @ wib.T + bib
+            if impl == "pallas":
+                from multimodalsignal_tpu.ops.gru_pallas import gru_sequence_pallas
 
-                    # Kernel computes in float32; cast back to the compute
-                    # dtype so inter-layer math stays uniform.
-                    y = gru_sequence_pallas(
-                        x_gates, w_hh, b_hh, h0, reverse=reverse
-                    ).astype(self.dtype)
-                else:
-                    y = gru_sequence(x_gates, w_hh, b_hh, h0, reverse=reverse)
-                dir_outputs.append(y)
-            out = jnp.concatenate(dir_outputs, axis=-1)  # [B, T, 2H]
+                # One kernel per direction. (A direction-fused variant exists
+                # — gru_bidirectional_pallas, impl="pallas_fused" — but
+                # measured SLOWER at the flagship shape: its backward's
+                # working set forces tiny VMEM time-chunks; 151 vs 253
+                # train steps/s on v5e.) Kernels compute in float32; cast
+                # back so inter-layer math stays in the compute dtype.
+                y_f = gru_sequence_pallas(xg_f, whf, bhf, h0, reverse=False)
+                y_b = gru_sequence_pallas(xg_b, whb, bhb, h0, reverse=True)
+                y_f, y_b = y_f.astype(self.dtype), y_b.astype(self.dtype)
+            elif impl == "pallas_fused":
+                from multimodalsignal_tpu.ops.gru_pallas import (
+                    gru_bidirectional_pallas,
+                )
+
+                y_f, y_b = gru_bidirectional_pallas(
+                    xg_f, xg_b, whf, whb, bhf, bhb, h0
+                )
+                y_f, y_b = y_f.astype(self.dtype), y_b.astype(self.dtype)
+            else:
+                y_f = gru_sequence(xg_f, whf, bhf, h0, reverse=False)
+                y_b = gru_sequence(xg_b, whb, bhb, h0, reverse=True)
+            out = jnp.concatenate([y_f, y_b], axis=-1)  # [B, T, 2H]
             if self.dropout > 0 and layer < self.num_layers - 1:
                 out = nn.Dropout(rate=self.dropout, deterministic=not train)(out)
         return out

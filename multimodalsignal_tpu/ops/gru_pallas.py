@@ -305,3 +305,245 @@ def gru_sequence_pallas(x_gates, w_hh, b_hh, h0, reverse: bool = False):
     ys = _gru_tm(bool(reverse), x_tm, w_hh.astype(jnp.float32),
                  b_hh.astype(jnp.float32), h0.astype(jnp.float32))
     return jnp.swapaxes(ys, 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# Fused bidirectional kernel
+#
+# The two directions of a BiGRU layer are independent recurrences, but as
+# separate pallas_calls they execute SEQUENTIALLY on a TPU core. Packing
+# direction as a leading batched dim (with the backward direction's gates
+# pre-flipped in time so BOTH run a forward recurrence) runs them truly in
+# parallel: one kernel, one grid walk, batched [2,B,H]x[2,H,3H] MXU matmuls.
+# ---------------------------------------------------------------------------
+
+def _bifwd_kernel(xg_ref, whh_t_ref, bhh_ref, h0_ref, out_ref, h_scratch,
+                  *, t_total: int, t_blk: int):
+    """xg [T_BLK, 2, B, 3H], whh_t [2, H, 3H], bhh [2, 3H], h0 [2, B, H]
+    -> out [T_BLK, 2, B, H]; recurrence is forward-only (direction 1 is
+    pre-flipped in time by the wrapper)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        h_scratch[:] = h0_ref[:]
+
+    base = i * t_blk
+
+    def step(t, h):
+        valid = (base + t) < t_total
+        xg = xg_ref[t]  # [2, B, 3H]
+        # Per-direction 2D matmuls on static slices (a batched dot_general
+        # with a leading dim of 2 trips Mosaic's retiling at these tile
+        # shapes); both feed the same VPU gate math below.
+        hg = jnp.stack([
+            jnp.dot(h[d], whh_t_ref[d], preferred_element_type=jnp.float32)
+            + bhh_ref[d]
+            for d in (0, 1)
+        ])
+        xr, xz, xn = jnp.split(xg, 3, axis=-1)
+        hr, hz, hn = jnp.split(hg, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        h_new = jnp.where(valid, h_new, h)
+        out_ref[t] = h_new
+        return h_new
+
+    h_scratch[:] = jax.lax.fori_loop(0, t_blk, step, h_scratch[:])
+
+
+def _bigru_forward(xg2, whh2, bhh2, h02):
+    t_total, two, batch, three_h = xg2.shape
+    hidden = three_h // 3
+    t_blk = _pick_t_blk(2 * batch * (three_h + hidden) * 4, t_total)
+    n_chunks = pl.cdiv(t_total, t_blk)
+    whh2_t = jnp.swapaxes(whh2, 1, 2)  # [2, H, 3H]
+    bhh2d = bhh2.reshape(2, three_h)
+
+    def cmap(i):
+        return (i, 0, 0, 0)
+
+    def rep(i):
+        return (0, 0, 0)
+
+    def rep2(i):
+        return (0, 0)
+
+    return pl.pallas_call(
+        partial(_bifwd_kernel, t_total=t_total, t_blk=t_blk),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((t_blk, 2, batch, three_h), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hidden, three_h), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, three_h), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, batch, hidden), rep, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((t_blk, 2, batch, hidden), cmap,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_total, 2, batch, hidden), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, batch, hidden), jnp.float32)],
+        interpret=_interpret(),
+    )(xg2, whh2_t, bhh2d, h02)
+
+
+def _bibwd_kernel(dy_ref, hprev_ref, xg_ref, whh_t_ref, bhh_ref,
+                  dxg_ref, dwhh_t_ref, dbhh_ref, dh0_ref,
+                  dh_scratch, dw_scratch, db_scratch,
+                  *, t_total: int, t_blk: int):
+    """Adjoint of the fused bidirectional recurrence (walks time backward)."""
+    i = pl.program_id(0)
+    n_chunks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        dh_scratch[:] = jnp.zeros_like(dh_scratch)
+        dw_scratch[:] = jnp.zeros_like(dw_scratch)
+        db_scratch[:] = jnp.zeros_like(db_scratch)
+
+    base = (n_chunks - 1 - i) * t_blk
+
+    def step(k, dh):
+        t = t_blk - 1 - k
+        valid = (base + t) < t_total
+        h_prev = jnp.where(valid, hprev_ref[t], 0.0)  # [2, B, H]
+        xg = xg_ref[t]
+        hg = jnp.stack([
+            jnp.dot(h_prev[d], whh_t_ref[d], preferred_element_type=jnp.float32)
+            + bhh_ref[d]
+            for d in (0, 1)
+        ])
+        xr, xz, xn = jnp.split(xg, 3, axis=-1)
+        hr, hz, hn = jnp.split(hg, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+
+        dht = dh + dy_ref[t]
+        dz = dht * (h_prev - n)
+        dn = dht * (1.0 - z)
+        dn_pre = dn * (1.0 - n * n)
+        dr = dn_pre * hn
+        dr_pre = dr * r * (1.0 - r)
+        dz_pre = dz * z * (1.0 - z)
+        dhn = dn_pre * r
+        dgates_h = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
+        dgates_x = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
+
+        zero = jnp.zeros_like(dgates_x)
+        dxg_ref[t] = jnp.where(valid, dgates_x, zero)
+        dgates_h = jnp.where(valid, dgates_h, zero)
+
+        dw_scratch[:] += jnp.stack([
+            jax.lax.dot_general(
+                h_prev[d], dgates_h[d], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for d in (0, 1)
+        ])  # [2, H, 3H]
+        db_scratch[:] += jnp.sum(dgates_h, axis=1)
+        dh_prev = dht * z + jnp.stack([
+            jax.lax.dot_general(
+                dgates_h[d], whh_t_ref[d], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for d in (0, 1)
+        ])  # [2, B, H]
+        return jnp.where(valid, dh_prev, dh)
+
+    dh_scratch[:] = jax.lax.fori_loop(0, t_blk, step, dh_scratch[:])
+    dwhh_t_ref[:] = dw_scratch[:]
+    dbhh_ref[:] = db_scratch[:]
+    dh0_ref[:] = dh_scratch[:]
+
+
+def _bigru_backward(xg2, whh2, bhh2, h02, ys2, dy2):
+    t_total, two, batch, three_h = xg2.shape
+    hidden = three_h // 3
+    t_blk = _pick_t_blk(2 * batch * (2 * hidden + 2 * three_h) * 4, t_total)
+    n_chunks = pl.cdiv(t_total, t_blk)
+    whh2_t = jnp.swapaxes(whh2, 1, 2)
+    bhh2d = bhh2.reshape(2, three_h)
+    h_prev = jnp.concatenate([h02[None], ys2[:-1]], axis=0)
+
+    def adj(i):
+        return (n_chunks - 1 - i, 0, 0, 0)
+
+    def rep(i):
+        return (0, 0, 0)
+
+    def rep2(i):
+        return (0, 0)
+
+    dxg, dwhh_t, dbhh, dh0 = pl.pallas_call(
+        partial(_bibwd_kernel, t_total=t_total, t_blk=t_blk),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((t_blk, 2, batch, hidden), adj, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_blk, 2, batch, hidden), adj, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_blk, 2, batch, three_h), adj, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hidden, three_h), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, three_h), rep2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((t_blk, 2, batch, three_h), adj, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hidden, three_h), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, three_h), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, batch, hidden), rep, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_total, 2, batch, three_h), jnp.float32),
+            jax.ShapeDtypeStruct((2, hidden, three_h), jnp.float32),
+            jax.ShapeDtypeStruct((2, three_h), jnp.float32),
+            jax.ShapeDtypeStruct((2, batch, hidden), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, batch, hidden), jnp.float32),
+            pltpu.VMEM((2, hidden, three_h), jnp.float32),
+            pltpu.VMEM((2, three_h), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(dy2, h_prev, xg2, whh2_t, bhh2d)
+    return dxg, jnp.swapaxes(dwhh_t, 1, 2), dbhh, dh0
+
+
+@jax.custom_vjp
+def _bigru_tm(xg2, whh2, bhh2, h02):
+    return _bigru_forward(xg2, whh2, bhh2, h02)
+
+
+def _bigru_tm_fwd(xg2, whh2, bhh2, h02):
+    ys2 = _bigru_forward(xg2, whh2, bhh2, h02)
+    return ys2, (xg2, whh2, bhh2, h02, ys2)
+
+
+def _bigru_tm_bwd(res, dy2):
+    xg2, whh2, bhh2, h02, ys2 = res
+    return _bigru_backward(xg2, whh2, bhh2, h02, ys2, dy2)
+
+
+_bigru_tm.defvjp(_bigru_tm_fwd, _bigru_tm_bwd)
+
+
+def gru_bidirectional_pallas(x_gates_f, x_gates_b, w_hh_f, w_hh_b,
+                             b_hh_f, b_hh_b, h0):
+    """Both directions of one BiGRU layer in a single fused kernel.
+
+    x_gates_* [B, T, 3H] (per-direction input projections); returns
+    (ys_fwd, ys_bwd) each [B, T, H], both aligned to the original time order
+    (like torch's bidirectional output). The backward direction is pre-flipped
+    in time outside the kernel, so the kernel runs one forward recurrence over
+    a direction-batched state.
+    """
+    f32 = jnp.float32
+    xf = jnp.swapaxes(x_gates_f, 0, 1)                     # [T, B, 3H]
+    xb = jnp.flip(jnp.swapaxes(x_gates_b, 0, 1), axis=0)   # time-reversed
+    xg2 = jnp.stack([xf, xb], axis=1).astype(f32)          # [T, 2, B, 3H]
+    whh2 = jnp.stack([w_hh_f, w_hh_b]).astype(f32)         # [2, 3H, H]
+    bhh2 = jnp.stack([b_hh_f, b_hh_b]).astype(f32)         # [2, 3H]
+    h02 = jnp.stack([h0, h0]).astype(f32)                  # [2, B, H]
+    ys2 = _bigru_tm(xg2, whh2, bhh2, h02)                  # [T, 2, B, H]
+    ys_f = jnp.swapaxes(ys2[:, 0], 0, 1)
+    ys_b = jnp.swapaxes(jnp.flip(ys2[:, 1], axis=0), 0, 1)
+    return ys_f, ys_b

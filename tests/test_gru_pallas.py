@@ -116,3 +116,46 @@ def test_vmap_composition(rng):
     g_got = jax.grad(lambda w: loss(gru_sequence_pallas, w))(whh)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_bidirectional_parity(rng):
+    """The fused two-direction kernel must match per-direction scan results
+    (forward and gradients) exactly."""
+    from multimodalsignal_tpu.ops.gru_pallas import gru_bidirectional_pallas
+
+    b, t, h = 3, T_BLK + 11, 8
+    xg_f = jnp.asarray(rng.standard_normal((b, t, 3 * h)), jnp.float32)
+    xg_b = jnp.asarray(rng.standard_normal((b, t, 3 * h)), jnp.float32)
+    whf = jnp.asarray(rng.standard_normal((3 * h, h)) * 0.3, jnp.float32)
+    whb = jnp.asarray(rng.standard_normal((3 * h, h)) * 0.3, jnp.float32)
+    bhf = jnp.asarray(rng.standard_normal(3 * h) * 0.1, jnp.float32)
+    bhb = jnp.asarray(rng.standard_normal(3 * h) * 0.1, jnp.float32)
+    h0 = jnp.zeros((b, h), jnp.float32)
+
+    want_f = gru_sequence(xg_f, whf, bhf, h0, reverse=False)
+    want_b = gru_sequence(xg_b, whb, bhb, h0, reverse=True)
+    got_f, got_b = gru_bidirectional_pallas(xg_f, xg_b, whf, whb, bhf, bhb, h0)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_fused(args):
+        whf, whb, bhf, bhb, xf, xb = args
+        yf, yb = gru_bidirectional_pallas(xf, xb, whf, whb, bhf, bhb, h0)
+        return jnp.sum(yf ** 2) + jnp.sum(yb ** 3)
+
+    def loss_scan(args):
+        whf, whb, bhf, bhb, xf, xb = args
+        yf = gru_sequence(xf, whf, bhf, h0, reverse=False)
+        yb = gru_sequence(xb, whb, bhb, h0, reverse=True)
+        return jnp.sum(yf ** 2) + jnp.sum(yb ** 3)
+
+    args = (whf, whb, bhf, bhb, xg_f, xg_b)
+    g_want = jax.grad(loss_scan)(args)
+    g_got = jax.grad(loss_fused)(args)
+    for gw, gg, name in zip(g_want, g_got,
+                            ("whf", "whb", "bhf", "bhb", "xf", "xb")):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"grad mismatch: {name}")
