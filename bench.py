@@ -24,7 +24,7 @@ BASELINE_CACHE = Path(__file__).parent / ".bench_baseline.json"
 
 
 def bench_jax(batch: int, channels: int, seq: int, steps: int, warmup: int,
-              gru_impl: str = "pallas") -> float:
+              gru_impl: str = "pallas", dtype: str = "float32") -> float:
     import jax
     import jax.numpy as jnp
     import optax
@@ -35,7 +35,8 @@ def bench_jax(batch: int, channels: int, seq: int, steps: int, warmup: int,
 
     if jax.default_backend() != "tpu":
         gru_impl = "scan"  # pallas interpret mode is not a perf path
-    model = CnnGruAttentionModel(num_classes=2, gru_impl=gru_impl)
+    model = CnnGruAttentionModel(num_classes=2, gru_impl=gru_impl,
+                                 dtype=jnp.dtype(dtype))
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch, channels, seq), jnp.float32)
     y = jax.random.randint(rng, (batch,), 0, 2)
@@ -168,12 +169,14 @@ def main() -> None:
     p.add_argument("--seq", type=int, default=7680)
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--warmup", type=int, default=10)
-    p.add_argument("--gru-impl", choices=("scan", "pallas"), default="pallas",
+    p.add_argument("--gru-impl", choices=("scan", "pallas", "pallas_fused"),
+                   default="pallas",
                    help="fused Pallas GRU kernel (default) or lax.scan")
+    p.add_argument("--dtype", choices=("float32", "bfloat16"), default="float32")
     args = p.parse_args()
 
     value = bench_jax(args.batch, args.channels, args.seq, args.steps,
-                      args.warmup, args.gru_impl)
+                      args.warmup, args.gru_impl, args.dtype)
     baseline = get_baseline(args.batch, args.channels, args.seq)
     vs = value / baseline if np.isfinite(baseline) and baseline > 0 else None
     print(json.dumps({
