@@ -12,6 +12,13 @@ from pathlib import Path
 import numpy as np
 
 
+def load_pkl(pkl_path: Path | str) -> dict:
+    """Load any WESAD-format pickle by path (byte-keyed), e.g. for inference
+    on a new recording."""
+    with open(pkl_path, "rb") as f:
+        return pickle.load(f, encoding="bytes")
+
+
 def load_subject_pkl(subject_id: str, wesad_root: Path | str) -> dict | None:
     """Load S*/S*.pkl with encoding='bytes'; returns None if missing
     (reference prints a warning and skips the subject, preprocess.py:66-68)."""

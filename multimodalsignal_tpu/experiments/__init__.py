@@ -9,8 +9,10 @@ from multimodalsignal_tpu.experiments.loso import (
     write_cv_summary,
 )
 from multimodalsignal_tpu.experiments.hierarchical import run_hierarchical_experiment
+from multimodalsignal_tpu.experiments.predict import Predictor
 
 __all__ = [
+    "Predictor",
     "FoldSpec",
     "loso_folds",
     "FoldResult",

@@ -1,0 +1,195 @@
+"""Inference: load a trained fold checkpoint and classify a raw recording.
+
+The reference stops at cross-validation — there is no way to apply a trained
+model to new data (SURVEY.md §1: no serving/API layer). This closes that gap:
+
+    python -m multimodalsignal_tpu.experiments.predict \
+        --checkpoint output/.../fold_test_on_S2/best_model.msgpack \
+        --config output/.../config.json \
+        --pkl WESAD/S16/S16.pkl            # raw WESAD recording
+        --out predictions.json
+
+or programmatically::
+
+    predictor = Predictor.from_run(run_dir, fold="S2")
+    result = predictor.predict_recording(pkl_path)
+
+Pipeline per recording: resample 700->128 Hz, slide 60 s / 10 s windows over
+the WHOLE recording (no protocol file needed at inference time), apply the
+training normalization scheme with the recording's own statistics (the
+reference normalizes per subject, dataset.py:37-48 — at inference the subject
+is the recording), then one jitted batch forward.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from dataclasses import dataclass
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalsignal_tpu.config import (
+    ALL_CHANNEL_NAMES,
+    CHEST_SENSORS,
+    ExperimentConfig,
+    config_from_dict,
+)
+from multimodalsignal_tpu.data.dataset import normalize_subject
+from multimodalsignal_tpu.data.resample import resample_signal
+from multimodalsignal_tpu.data.windowing import sliding_windows, window_starts
+from multimodalsignal_tpu.data.wesad_io import chest_signals, load_pkl
+from multimodalsignal_tpu.models import build_model
+from multimodalsignal_tpu.train.checkpoints import restore_state
+from multimodalsignal_tpu.train.trainer import TrainState, init_train_state
+from multimodalsignal_tpu.train.optim import make_optimizer
+
+CLASS_NAMES = {
+    "stress_binary": ("non_stress", "stress"),
+    "amusement_binary": ("baseline", "amusement"),
+    "ternary": ("baseline", "amusement", "stress"),
+}
+
+
+@dataclass
+class PredictionResult:
+    starts_sec: np.ndarray   # [N] window start times in seconds
+    labels: np.ndarray       # [N] argmax class ids
+    probs: np.ndarray        # [N, num_classes]
+    class_names: tuple[str, ...]
+
+    def to_json(self) -> str:
+        return json.dumps({
+            "class_names": list(self.class_names),
+            "windows": [
+                {
+                    "start_sec": float(t),
+                    "label": self.class_names[int(l)],
+                    "probs": [round(float(p), 6) for p in row],
+                }
+                for t, l, row in zip(self.starts_sec, self.labels, self.probs)
+            ],
+        }, indent=2)
+
+
+class Predictor:
+    """Jitted windowed inference for one trained model."""
+
+    def __init__(self, cfg: ExperimentConfig, state: TrainState,
+                 original_fs: int = 700, target_fs: int = 128,
+                 window_sec: int = 60, stride_sec: int = 10):
+        self.cfg = cfg
+        self.state = state
+        self.original_fs = original_fs
+        self.target_fs = target_fs
+        self.window_sec = window_sec
+        self.stride_sec = stride_sec
+        self.model = build_model(cfg.model, cfg.num_classes)
+        self._predict = jax.jit(self._predict_fn)
+
+    def _predict_fn(self, params, batch_stats, x):
+        logits = self.model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False
+        )
+        return jax.nn.softmax(logits, axis=-1)
+
+    # -- constructors ---------------------------------------------------------
+    @classmethod
+    def from_files(cls, checkpoint: Path | str, config: Path | str) -> "Predictor":
+        cfg = config_from_dict(ExperimentConfig,
+                               json.loads(Path(config).read_text()))
+        model = build_model(cfg.model, cfg.num_classes)
+        tx = make_optimizer(cfg.trainer.learning_rate, cfg.trainer.weight_decay)
+        # Template for restore: param shapes are T-independent, any window
+        # length works for the init sample.
+        sample = jnp.zeros((1, len(cfg.channels_to_use), 128 * 60), jnp.float32)
+        template = init_train_state(model, jax.random.PRNGKey(0), sample, tx)
+        state = restore_state(checkpoint, template)
+        return cls(cfg, state)
+
+    @classmethod
+    def from_run(cls, run_dir: Path | str, fold: str) -> "Predictor":
+        run_dir = Path(run_dir)
+        return cls.from_files(
+            run_dir / f"fold_test_on_{fold}" / "best_model.msgpack",
+            run_dir / "config.json",
+        )
+
+    # -- inference ------------------------------------------------------------
+    def windows_from_recording(self, pkl_path: Path | str) -> tuple[np.ndarray, np.ndarray]:
+        """Raw WESAD pickle -> normalized [N, C, T] windows + start times."""
+        data = load_pkl(pkl_path)
+        chest = chest_signals(data)
+        cols = []
+        for sensor in CHEST_SENSORS:
+            sig = np.asarray(chest[sensor])
+            if sig.ndim == 1:
+                sig = sig[:, None]
+            cols.append(resample_signal(sig, self.original_fs, self.target_fs))
+        full = np.concatenate(cols, axis=1)  # [T', 8]
+
+        window_samples = self.window_sec * self.target_fs
+        stride_samples = self.stride_sec * self.target_fs
+        starts = window_starts(0, full.shape[0], window_samples, stride_samples)
+        ch_idx = [ALL_CHANNEL_NAMES.index(ch) for ch in self.cfg.channels_to_use]
+        win = sliding_windows(full[:, ch_idx].astype(np.float32), starts,
+                              window_samples)  # [N, T, C]
+        # Per-recording normalization = the training scheme's per-subject
+        # statistics (all windows; no labels exist at inference time).
+        y_dummy = np.ones(len(win), dtype=np.int64)
+        scheme = "all" if self.cfg.normalization == "baseline" else self.cfg.normalization
+        win = normalize_subject(win, y_dummy, list(self.cfg.channels_to_use), scheme)
+        x = np.ascontiguousarray(win.transpose(0, 2, 1))  # [N, C, T]
+        return x, starts / self.target_fs
+
+    def predict_windows(self, x: np.ndarray, batch_size: int = 64) -> np.ndarray:
+        """[N, C, T] -> probs [N, num_classes] (fixed-size padded batches so
+        one compiled program serves any recording length)."""
+        n = x.shape[0]
+        probs = []
+        for i in range(0, n, batch_size):
+            xb = x[i : i + batch_size]
+            pad = batch_size - xb.shape[0]
+            if pad:
+                xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
+            p = self._predict(self.state.params, self.state.batch_stats,
+                              jnp.asarray(xb))
+            probs.append(np.asarray(p)[: batch_size - pad])
+        return np.concatenate(probs, axis=0)
+
+    def predict_recording(self, pkl_path: Path | str) -> PredictionResult:
+        x, starts_sec = self.windows_from_recording(pkl_path)
+        probs = self.predict_windows(x)
+        return PredictionResult(
+            starts_sec=starts_sec,
+            labels=probs.argmax(axis=-1),
+            probs=probs,
+            class_names=CLASS_NAMES[self.cfg.classification_mode],
+        )
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--config", required=True)
+    p.add_argument("--pkl", required=True, help="raw WESAD S*.pkl recording")
+    p.add_argument("--out", default=None, help="write JSON here (default stdout)")
+    args = p.parse_args(argv)
+    predictor = Predictor.from_files(args.checkpoint, args.config)
+    result = predictor.predict_recording(args.pkl)
+    text = result.to_json()
+    if args.out:
+        Path(args.out).write_text(text)
+        counts = np.bincount(result.labels, minlength=len(result.class_names))
+        print(f"Wrote {len(result.labels)} window predictions to {args.out}")
+        for name, c in zip(result.class_names, counts):
+            print(f"  {name}: {int(c)}")
+    else:
+        print(text)
+
+
+if __name__ == "__main__":
+    main()
