@@ -39,7 +39,11 @@ from multimodalsignal_tpu.config import (
 from multimodalsignal_tpu.data.features import FEATURE_NAMES, extract_features_batch
 from multimodalsignal_tpu.data.protocol import parse_quest_csv
 from multimodalsignal_tpu.data.resample import resample_signal
-from multimodalsignal_tpu.data.windowing import segment_protocol, sliding_windows
+from multimodalsignal_tpu.data.windowing import (
+    segment_protocol,
+    sliding_windows,
+    sliding_windows_fast,
+)
 from multimodalsignal_tpu.data.wesad_io import chest_signals, load_subject_pkl
 
 
@@ -93,9 +97,10 @@ def preprocess_subject(
             cfg.raw_window_sec, cfg.raw_stride_sec,
         )
         # float32 before the big gather: halves the window copy and the .npy
-        # write (the dataset layer casts to float32 regardless).
-        X_raw = sliding_windows(raw.astype(np.float32), raw_starts,
-                                cfg.raw_window_samples)
+        # write (the dataset layer casts to float32 regardless); native C++
+        # gather when the engine is available.
+        X_raw = sliding_windows_fast(raw.astype(np.float32), raw_starts,
+                                     cfg.raw_window_samples)
         if "raw" in cfg.targets:
             out["raw"] = (X_raw, raw_labels)
 

@@ -34,6 +34,21 @@ def sliding_windows(signal: np.ndarray, starts: np.ndarray, window_samples: int)
     return signal[idx]
 
 
+def sliding_windows_fast(signal: np.ndarray, starts: np.ndarray,
+                         window_samples: int) -> np.ndarray:
+    """sliding_windows with the native C++ gather when available (float32
+    inputs only); bit-identical to the NumPy path (tests/test_native.py)."""
+    if len(starts) > 0 and signal.dtype == np.float32:
+        try:
+            from multimodalsignal_tpu import native
+
+            if native.available():
+                return native.sliding_windows_f32(signal, starts, window_samples)
+        except Exception:
+            pass
+    return sliding_windows(signal, starts, window_samples)
+
+
 def segment_protocol(
     protocol_rows,
     task_to_label: dict[str, int],
