@@ -84,11 +84,19 @@ def main(argv=None) -> None:
     print(f"Run directory: {run_dir}")
 
     if args.hierarchical:
-        from multimodalsignal_tpu.experiments.hierarchical import (
-            run_hierarchical_experiment,
-        )
+        execution = args.execution or cfg.base.fold_execution
+        if execution == "sharded":
+            from multimodalsignal_tpu.parallel.hierarchical_sweep import (
+                run_hierarchical_sharded,
+            )
 
-        run_hierarchical_experiment(cfg, run_dir)
+            run_hierarchical_sharded(cfg, run_dir)
+        else:
+            from multimodalsignal_tpu.experiments.hierarchical import (
+                run_hierarchical_experiment,
+            )
+
+            run_hierarchical_experiment(cfg, run_dir)
         return
 
     execution = args.execution or cfg.fold_execution

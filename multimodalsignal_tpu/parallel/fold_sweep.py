@@ -30,7 +30,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 from pathlib import Path
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -185,6 +185,10 @@ class SweepResult(NamedTuple):
     stop_epoch: jnp.ndarray     # [] int32 (epochs actually "run" before mask)
     test_loss: jnp.ndarray      # []
     test_cm: jnp.ndarray        # [num_classes, num_classes]
+    # Final (best-restored) inference state, stacked over folds — feeds
+    # downstream composed inference (hierarchical path) and checkpoint export.
+    final_params: Any = None
+    final_batch_stats: Any = None
 
 
 def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
@@ -323,7 +327,8 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
         )
         test_idx, test_w = _sequential_grid(fb_test_pool, fb_n_test, steps_te, batch)
         test_loss, test_cm = eval_pass(final_state, x, y, test_idx, test_w)
-        return test_loss, test_cm, es.best_epoch
+        return (test_loss, test_cm, es.best_epoch,
+                final_state.params, final_state.batch_stats)
 
     def fold_program(x, y, fb_train_pool, fb_n_train, fb_val_pool, fb_n_val,
                      fb_test_pool, fb_n_test, init_state: TrainState, rng):
@@ -358,7 +363,7 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
             loop_cond, loop_body, (jnp.asarray(0, jnp.int32), carry0, logs0)
         )
         train_loss, val_loss, val_acc, val_f1, lr, ran = logs
-        test_loss, test_cm, best_epoch = finalize_program(
+        test_loss, test_cm, best_epoch, fparams, fbs = finalize_program(
             x, y, fb_test_pool, fb_n_test, carry
         )
         return SweepResult(
@@ -367,6 +372,8 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
             stop_epoch=ran.astype(jnp.int32).sum(),
             test_loss=test_loss,
             test_cm=test_cm,
+            final_params=fparams,
+            final_batch_stats=fbs,
         )
 
     return {
@@ -498,7 +505,7 @@ def run_fold_sweep(
             if stopped.all():
                 print(f"  all folds early-stopped at epoch {epoch + 1}")
                 break
-        test_loss, test_cm, best_epoch = finalize_fn(
+        test_loss, test_cm, best_epoch, fparams, fbs = finalize_fn(
             x_dev, y_dev, te_pool, n_te, carry
         )
 
@@ -516,6 +523,8 @@ def run_fold_sweep(
         stop_epoch=ran.astype(np.int32).sum(axis=1),
         test_loss=np.asarray(test_loss),
         test_cm=np.asarray(test_cm),
+        final_params=jax.tree_util.tree_map(np.asarray, fparams),
+        final_batch_stats=jax.tree_util.tree_map(np.asarray, fbs),
     )
 
 

@@ -1,0 +1,180 @@
+"""Sharded hierarchical experiment: two fold sweeps + vmapped composed eval.
+
+The serial hierarchical path (experiments/hierarchical.py, mirroring reference
+main.py:159-247) trains 2 models x 15 folds one at a time. Here it becomes
+exactly TWO sharded computations — an M1 (stress vs non-stress) fold sweep and
+an M2 (amusement vs baseline) fold sweep — followed by one jitted, vmapped
+composed ternary evaluation that slices each model's channel subset from the
+union-channel test windows and gates M2 by M1 (reference main.py:237-244)
+using every fold's best-restored parameters at once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalsignal_tpu.config import HierarchicalConfig, save_config
+from multimodalsignal_tpu.data.dataset import pack_corpus, read_channel_names
+from multimodalsignal_tpu.experiments.hierarchical import (
+    HierarchicalFoldResult,
+    _ordered_union,
+    _write_summary,
+)
+from multimodalsignal_tpu.models import build_model
+from multimodalsignal_tpu.parallel.fold_sweep import (
+    _sequential_grid,
+    build_fold_batch,
+    make_fold_mesh,
+    run_fold_sweep,
+)
+from multimodalsignal_tpu.train import metrics as M
+
+
+def run_hierarchical_sharded(
+    cfg: HierarchicalConfig,
+    run_output_dir: Path | str,
+    all_channel_names: list[str] | None = None,
+    devices=None,
+) -> tuple[list[HierarchicalFoldResult], dict]:
+    base = cfg.base
+    t0 = time.time()
+    run_output_dir = Path(run_output_dir)
+    run_output_dir.mkdir(parents=True, exist_ok=True)
+    save_config(cfg, run_output_dir / "config.json")
+    if all_channel_names is None:
+        all_channel_names = read_channel_names(base.data_path)
+
+    print("=" * 80)
+    print("Sharded hierarchical experiment: 2 fold sweeps + composed eval")
+    print("=" * 80)
+
+    def sweep(channels, mode, model_cfg, tag):
+        corpus = pack_corpus(
+            base.data_path, list(base.subjects), list(channels),
+            all_channel_names, mode, base.normalization,
+        )
+        mesh, padded = make_fold_mesh(len(corpus.subjects), devices)
+        fb = build_fold_batch(corpus, list(base.subjects), base.val_fraction,
+                              base.seed, pad_folds_to=padded)
+        print(f"\n--- Sweep {tag}: mode={mode}, channels={list(channels)} ---")
+        point_cfg = dataclasses.replace(
+            base, channels_to_use=tuple(channels), classification_mode=mode,
+            num_classes=2, model=model_cfg,
+        )
+        result = run_fold_sweep(corpus, fb, point_cfg, mesh)
+        return result, fb, mesh
+
+    m1_result, fb1, mesh = sweep(cfg.m1_channels, "stress_binary",
+                                 cfg.m1_model, "M1")
+    m2_result, _, _ = sweep(cfg.m2_channels, "amusement_binary",
+                            cfg.m2_model, "M2")
+
+    # Composed ternary evaluation over the union-channel test windows.
+    union = _ordered_union(cfg.m1_channels, cfg.m2_channels)
+    m1_idx = jnp.asarray([union.index(ch) for ch in cfg.m1_channels], jnp.int32)
+    m2_idx = jnp.asarray([union.index(ch) for ch in cfg.m2_channels], jnp.int32)
+    corpus_u = pack_corpus(
+        base.data_path, list(base.subjects), union, all_channel_names,
+        "ternary", base.normalization,
+    )
+    padded = fb1.train_pool.shape[0]
+    fb_u = build_fold_batch(corpus_u, list(base.subjects), base.val_fraction,
+                            base.seed, pad_folds_to=padded)
+    x_flat, y_flat, _ = corpus_u.flat()
+    x = jnp.asarray(x_flat, jnp.float32)
+    y = jnp.asarray(y_flat, jnp.int32)
+
+    model_m1 = build_model(cfg.m1_model, 2)
+    model_m2 = build_model(cfg.m2_model, 2)
+    batch = base.trainer.batch_size
+    steps_te = max(-(-int(fb_u.n_test.max()) // batch), 1)
+
+    def composed_eval(p1, bs1, p2, bs2, te_pool, n_te):
+        """One fold's composed ternary confusion matrix (vmapped)."""
+        idx, w = _sequential_grid(jnp.asarray(te_pool), jnp.asarray(n_te),
+                                  steps_te, batch)
+
+        def step(cm, inp):
+            bi, wb = inp
+            xb = x[bi]
+            x1 = jnp.take(xb, m1_idx, axis=1)
+            x2 = jnp.take(xb, m2_idx, axis=1)
+            pred1 = jnp.argmax(model_m1.apply(
+                {"params": p1, "batch_stats": bs1}, x1, train=False), axis=-1)
+            pred2 = jnp.argmax(model_m2.apply(
+                {"params": p2, "batch_stats": bs2}, x2, train=False), axis=-1)
+            preds = jnp.where(pred1 == 1, 2, pred2)
+            return cm + M.confusion_matrix(y[bi], preds, 3, wb), None
+
+        cm, _ = jax.lax.scan(step, jnp.zeros((3, 3)), (idx, w))
+        return cm
+
+    with mesh:
+        cms = jax.jit(jax.vmap(composed_eval))(
+            m1_result.final_params, m1_result.final_batch_stats,
+            m2_result.final_params, m2_result.final_batch_stats,
+            jnp.asarray(fb_u.test_pool), jnp.asarray(fb_u.n_test),
+        )
+    cms = np.asarray(cms)
+
+    results: list[HierarchicalFoldResult] = []
+    all_preds_cm = np.zeros((3, 3))
+    for i, subject in enumerate(fb_u.test_subjects):
+        m1_cm = jnp.asarray(m1_result.test_cm[i])
+        cm = jnp.asarray(cms[i])
+        results.append(HierarchicalFoldResult(
+            subject=subject,
+            m1_accuracy=float(M.accuracy_from_cm(m1_cm)),
+            m1_f1=float(M.weighted_f1_from_cm(m1_cm)),
+            composed_accuracy=float(M.accuracy_from_cm(cm)),
+            composed_f1=float(M.weighted_f1_from_cm(cm)),
+            num_test_windows=int(cms[i].sum()),
+            wall_s=float("nan"),
+        ))
+        all_preds_cm += cms[i]
+
+    summary = _write_summary_from_cms(run_output_dir, results, all_preds_cm)
+    summary["sweep_wall_s"] = time.time() - t0
+    print(f"\nHierarchical sharded wall-clock: {summary['sweep_wall_s']:.2f}s")
+    return results, summary
+
+
+def _write_summary_from_cms(run_dir: Path, results, total_cm: np.ndarray) -> dict:
+    """Same artifact contract as the serial path's summary, computed from the
+    aggregated confusion matrix instead of raw prediction lists."""
+    cm = jnp.asarray(total_cm)
+    summary = {
+        "num_folds": len(results),
+        "overall_accuracy": float(M.accuracy_from_cm(cm)),
+        "overall_f1": float(M.weighted_f1_from_cm(cm)),
+        "mean_m1_accuracy": float(np.mean([r.m1_accuracy for r in results])),
+        "mean_composed_accuracy": float(np.mean([r.composed_accuracy for r in results])),
+        "std_composed_accuracy": float(np.std([r.composed_accuracy for r in results])),
+        "mean_composed_f1": float(np.mean([r.composed_f1 for r in results])),
+    }
+    lines = ["Hierarchical experiment summary (sharded)", "", "Per-fold results:"]
+    for r in results:
+        lines.append(
+            f"  - test {r.subject}: M1 acc = {r.m1_accuracy:.4f} | "
+            f"composed acc = {r.composed_accuracy:.4f}, F1 = {r.composed_f1:.4f} "
+            f"({r.num_test_windows} windows)"
+        )
+    lines += [
+        "",
+        f"Overall window-level accuracy: {summary['overall_accuracy']:.4f}",
+        f"Overall window-level weighted F1: {summary['overall_f1']:.4f}",
+        f"Mean composed accuracy: {summary['mean_composed_accuracy']:.4f} "
+        f"± {summary['std_composed_accuracy']:.4f}",
+        "",
+        "Overall confusion matrix (rows=true, cols=pred; 0=Base, 1=Fun, 2=Stress):",
+        str(total_cm.astype(int)),
+    ]
+    (run_dir / "hierarchical_summary.txt").write_text("\n".join(lines) + "\n")
+    print(f"Hierarchical summary saved to: {run_dir / 'hierarchical_summary.txt'}")
+    return summary

@@ -150,3 +150,34 @@ def test_dispatch_modes_equivalent():
                                   np.asarray(r_epoch.history.val_loss))
     np.testing.assert_array_equal(np.asarray(r_fused.stop_epoch),
                                   np.asarray(r_epoch.stop_epoch))
+
+
+def test_hierarchical_sharded(preprocessed, tmp_path):  # noqa: F811
+    """Two sharded sweeps + vmapped composed ternary eval on the CPU mesh."""
+    from multimodalsignal_tpu.config import HierarchicalConfig
+    from multimodalsignal_tpu.parallel.hierarchical_sweep import (
+        run_hierarchical_sharded,
+    )
+
+    tiny_model = ModelConfig(cnn_out_channels=8, gru_hidden_size=8, gru_num_layers=1)
+    base = ExperimentConfig(
+        data_path=str(preprocessed / "chest_raw"),
+        subjects=tuple(SUBJECTS_SMALL[:3]),
+        model=tiny_model,
+        trainer=TrainerConfig(epochs=2, batch_size=16,
+                              early_stopping=EarlyStoppingConfig(patience=3)),
+    )
+    cfg = HierarchicalConfig(
+        m1_channels=("chest_ECG", "chest_EDA"),
+        m1_model=tiny_model,
+        m2_channels=("chest_EDA", "chest_Resp"),
+        m2_model=tiny_model,
+        base=base,
+    )
+    results, summary = run_hierarchical_sharded(cfg, tmp_path)
+    assert summary["num_folds"] == 3
+    assert 0.0 <= summary["overall_accuracy"] <= 1.0
+    assert (tmp_path / "hierarchical_summary.txt").exists()
+    for r in results:
+        assert r.num_test_windows > 0
+        assert 0.0 <= r.composed_accuracy <= 1.0
