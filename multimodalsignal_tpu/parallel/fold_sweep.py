@@ -581,8 +581,9 @@ def run_sharded_experiment(
             best_epoch=int(result.best_epoch[i]) + 1,
             epochs_run=epochs_run,
         ))
-        _write_fold_log(run_output_dir / f"fold_test_on_{subject}", result, i,
-                        epochs_run, acc, f1)
+        fold_dir = run_output_dir / f"fold_test_on_{subject}"
+        _write_fold_log(fold_dir, result, i, epochs_run, acc, f1)
+        _export_fold_checkpoint(fold_dir, result, i, cfg)
 
     summary = write_cv_summary(run_output_dir / "cv_summary.txt", cfg, results)
     summary["sweep_wall_s"] = time.time() - t0
@@ -592,6 +593,26 @@ def run_sharded_experiment(
           f"± {summary['std_accuracy']:.4f}")
     print(f"Mean weighted F1: {summary['mean_f1']:.4f} ± {summary['std_f1']:.4f}")
     return results, summary
+
+
+def _export_fold_checkpoint(fold_dir: Path, result: SweepResult, i: int,
+                            cfg: ExperimentConfig) -> None:
+    """Write this fold's best-restored state as best_model.msgpack — the
+    serial trainer's checkpoint contract (reference trainer.py:38-39), so
+    Predictor.from_run works on sharded runs too."""
+    if result.final_params is None:
+        return
+    from multimodalsignal_tpu.train.checkpoints import save_state
+    from multimodalsignal_tpu.train.optim import make_optimizer
+
+    params = jax.tree_util.tree_map(lambda a: np.asarray(a[i]),
+                                    result.final_params)
+    batch_stats = jax.tree_util.tree_map(lambda a: np.asarray(a[i]),
+                                         result.final_batch_stats)
+    tx = make_optimizer(cfg.trainer.learning_rate, cfg.trainer.weight_decay)
+    state = TrainState(params=params, batch_stats=batch_stats,
+                       opt_state=tx.init(params))
+    save_state(fold_dir / "best_model.msgpack", state)
 
 
 def _write_fold_log(fold_dir: Path, result: SweepResult, i: int,

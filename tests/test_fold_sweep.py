@@ -181,3 +181,29 @@ def test_hierarchical_sharded(preprocessed, tmp_path):  # noqa: F811
     for r in results:
         assert r.num_test_windows > 0
         assert 0.0 <= r.composed_accuracy <= 1.0
+
+
+def test_sharded_run_exports_usable_checkpoints(preprocessed, tmp_path):  # noqa: F811
+    """Sharded runs must write per-fold best_model.msgpack that Predictor
+    can load and use on a raw recording."""
+    from multimodalsignal_tpu.experiments.predict import Predictor
+    from tests.conftest import TASKS_SMALL
+
+    cfg = ExperimentConfig(
+        data_path=str(preprocessed / "chest_raw"),
+        subjects=tuple(SUBJECTS_SMALL[:3]),
+        model=ModelConfig(cnn_out_channels=8, gru_hidden_size=8, gru_num_layers=1),
+        trainer=TrainerConfig(epochs=1, batch_size=16,
+                              early_stopping=EarlyStoppingConfig(patience=2)),
+    )
+    run_sharded_experiment(cfg, tmp_path)
+    ckpt = tmp_path / "fold_test_on_S2" / "best_model.msgpack"
+    assert ckpt.exists()
+    predictor = Predictor.from_run(tmp_path, fold="S2")
+    # Classify a brand-new recording the run never saw.
+    from multimodalsignal_tpu.data.synthetic import write_synthetic_wesad
+    root = tmp_path / "wesad_new"
+    write_synthetic_wesad(root, ["S99"], tasks=TASKS_SMALL, seed=5)
+    result = predictor.predict_recording(root / "S99" / "S99.pkl")
+    assert len(result.labels) > 0
+    assert np.isfinite(result.probs).all()
