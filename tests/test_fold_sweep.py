@@ -119,8 +119,6 @@ def test_sharded_experiment_end_to_end(preprocessed, tmp_path):  # noqa: F811
 def test_dispatch_modes_equivalent():
     """'fused' (single XLA program) and 'per_epoch' (host epoch loop) must
     produce bit-identical per-fold results."""
-    import dataclasses
-
     from multimodalsignal_tpu.data.dataset import PackedCorpus
     from multimodalsignal_tpu.parallel.fold_sweep import run_fold_sweep
     from jax.sharding import Mesh

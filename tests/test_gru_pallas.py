@@ -11,7 +11,7 @@ from multimodalsignal_tpu.models.gru import BiGRU, gru_sequence
 from multimodalsignal_tpu.ops.gru_pallas import T_BLK, gru_sequence_pallas
 
 
-def _setup(rng, b=4, t=None, h=8, in3h=None):
+def _setup(rng, b=4, t=None, h=8):
     t = t if t is not None else 2 * T_BLK + 7  # exercises partial last chunk
     three_h = 3 * h
     x_gates = jnp.asarray(rng.standard_normal((b, t, three_h)), jnp.float32)
