@@ -34,15 +34,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Maximum time-chunk length per grid step; the actual chunk is sized from a
 # VMEM budget (time-blocked refs are double-buffered by the pipeline, and the
-# whole working set must stay under the ~16 MB scoped-vmem limit — the
-# backward kernel's dy+hprev+xg+dxg blocks OOM at the flagship shape if the
-# chunk is fixed at 64).
-T_BLK = 64
-# Per buffer set; the pipeline double-buffers (x2) and vmapping the kernel
-# over a fold axis adds further scoped overhead — 4 MB keeps the flagship
-# backward (observed 18.3 MB at a 6 MB budget under vmap) inside the 16 MB
-# scoped-vmem limit with margin.
-_VMEM_BUDGET_BYTES = 4 * 1024 * 1024
+# whole working set must stay under the ~16 MB scoped-vmem limit).
+T_BLK = 32
+# Per buffer set; sized for the WORST CO-RESIDENCY: under jax.checkpoint the
+# recomputed forward pallas_call and the backward pallas_call share one fused
+# region, so BOTH kernels' double-buffered block sets live in scoped vmem at
+# once (observed: 4 MB budgets OOM at 16.1 MB for H=32, where the forward
+# chunk capped at 64 steps). 2.5 MB per kernel x2 double-buffering x2 kernels
+# ~= 10 MB worst case, leaving headroom for scratch and vmap overhead.
+_VMEM_BUDGET_BYTES = 2_621_440
 
 
 def _pick_t_blk(per_step_bytes: int, t_total: int) -> int:
