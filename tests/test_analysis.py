@@ -79,3 +79,15 @@ def test_feature_distributions(preprocessed, tmp_path):  # noqa: F811
     for artifact in ("feature_distributions_violin.png", "feature_pairplot.png",
                      "feature_projections.png"):
         assert (tmp_path / artifact).exists()
+
+
+def test_checker_cli_exit_codes(preprocessed, tmp_path):  # noqa: F811
+    """CLI exits 0 on healthy data, 1 on failures (scriptable QA gate)."""
+    from multimodalsignal_tpu.analysis.preprocess_check import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["--data", str(preprocessed), "--subject", "S2"])
+    assert e.value.code == 0
+    with pytest.raises(SystemExit) as e:
+        main(["--data", str(preprocessed), "--subject", "S99"])
+    assert e.value.code == 1
