@@ -95,8 +95,10 @@ def run_hierarchical_sharded(
     batch = base.trainer.batch_size
     steps_te = max(-(-int(fb_u.n_test.max()) // batch), 1)
 
-    def composed_eval(p1, bs1, p2, bs2, te_pool, n_te):
-        """One fold's composed ternary confusion matrix (vmapped)."""
+    def composed_eval(x, y, p1, bs1, p2, bs2, te_pool, n_te):
+        """One fold's composed ternary confusion matrix (vmapped over folds;
+        x/y passed as arguments — closing over them would bake the whole
+        corpus into the program as a constant)."""
         idx, w = _sequential_grid(jnp.asarray(te_pool), jnp.asarray(n_te),
                                   steps_te, batch)
 
@@ -116,7 +118,10 @@ def run_hierarchical_sharded(
         return cm
 
     with mesh:
-        cms = jax.jit(jax.vmap(composed_eval))(
+        cms = jax.jit(
+            jax.vmap(composed_eval, in_axes=(None, None) + (0,) * 6)
+        )(
+            x, y,
             m1_result.final_params, m1_result.final_batch_stats,
             m2_result.final_params, m2_result.final_batch_stats,
             jnp.asarray(fb_u.test_pool), jnp.asarray(fb_u.n_test),
