@@ -43,6 +43,17 @@ T_BLK = 32
 # chunk capped at 64 steps). 2.5 MB per kernel x2 double-buffering x2 kernels
 # ~= 10 MB worst case, leaving headroom for scratch and vmap overhead.
 _VMEM_BUDGET_BYTES = 2_621_440
+# Time-steps unrolled per sequential-loop iteration inside the kernels
+# (latency-bound loops). The largest power of two <= this that divides t_blk
+# is used.
+_UNROLL = 16
+
+
+def _pick_unroll(t_blk: int) -> int:
+    u = _UNROLL
+    while t_blk % u:
+        u //= 2
+    return max(u, 1)
 
 
 def _pick_t_blk(per_step_bytes: int, t_total: int) -> int:
@@ -83,9 +94,7 @@ def _fwd_kernel(xg_ref, whh_t_ref, bhh_ref, h0_ref, out_ref, h_scratch,
     chunk = (n_chunks - 1 - i) if reverse else i
     base = chunk * t_blk
 
-    def step(k, h):
-        # k-th step inside the chunk, in recurrence order.
-        t = (t_blk - 1 - k) if reverse else k
+    def one_step(t, h):
         valid = (base + t) < t_total
         xg = xg_ref[t]
         hg = (
@@ -102,7 +111,19 @@ def _fwd_kernel(xg_ref, whh_t_ref, bhh_ref, h0_ref, out_ref, h_scratch,
         out_ref[t] = h_new
         return h_new
 
-    h_scratch[:] = jax.lax.fori_loop(0, t_blk, step, h_scratch[:])
+    # Unrolled inside the sequential loop: the recurrence is latency-bound
+    # (~1 us/step), so loop-control overhead is significant.
+    unroll = _pick_unroll(t_blk)
+
+    def step(k, h):
+        base_k = k * unroll
+        for u in range(unroll):
+            kk = base_k + u
+            t = (t_blk - 1 - kk) if reverse else kk
+            h = one_step(t, h)
+        return h
+
+    h_scratch[:] = jax.lax.fori_loop(0, t_blk // unroll, step, h_scratch[:])
 
 
 def _gru_forward(x_gates_tm, w_hh, b_hh, h0, reverse: bool):
@@ -169,9 +190,7 @@ def _bwd_kernel(dy_ref, hprev_ref, xg_ref, whh_t_ref, bhh_ref,
     chunk = i if reverse else (n_chunks - 1 - i)
     base = chunk * t_blk
 
-    def step(k, dh):
-        # Iterate steps inside the chunk opposite to recurrence order.
-        t = k if reverse else (t_blk - 1 - k)
+    def one_step(t, dh):
         valid = (base + t) < t_total
         # Mask the state itself: padded-block reads can be NaN/garbage and a
         # NaN times a zeroed dgates_h still poisons the dW accumulator.
@@ -214,7 +233,19 @@ def _bwd_kernel(dy_ref, hprev_ref, xg_ref, whh_t_ref, bhh_ref,
         )  # [B, H] = dgates_h @ whh_t.T
         return jnp.where(valid, dh_prev, dh)
 
-    dh_scratch[:] = jax.lax.fori_loop(0, t_blk, step, dh_scratch[:])
+    unroll = _pick_unroll(t_blk)
+
+    def step(k, dh):
+        # Iterate steps inside the chunk opposite to recurrence order,
+        # unrolled (latency-bound loop).
+        base_k = k * unroll
+        for u in range(unroll):
+            kk = base_k + u
+            t = kk if reverse else (t_blk - 1 - kk)
+            dh = one_step(t, dh)
+        return dh
+
+    dh_scratch[:] = jax.lax.fori_loop(0, t_blk // unroll, step, dh_scratch[:])
     # Last write wins: on the final grid step these hold the full sums and
     # the gradient w.r.t. the initial state.
     dwhh_t_ref[:] = dw_scratch[:]
