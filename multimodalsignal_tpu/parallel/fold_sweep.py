@@ -1,12 +1,14 @@
-"""Sharded LOSO fold sweep: all folds as one jitted computation over a mesh.
+"""Sharded LOSO fold sweep: all folds in lockstep SPMD over a `fold` mesh axis.
 
 The reference trains its 15 LOSO folds serially (reference main.py:98-125).
 Here the complete cross-validation — per-fold init, every training epoch with
 shuffling/early-stopping/LR-plateau, best-state tracking, and the final test
-evaluation — compiles to a single XLA program vmapped over a `fold` axis and
-sharded across devices with jax.sharding.Mesh + NamedSharding. Device count
-does not need to divide the fold count: folds are padded with inert replicas
-whose results are dropped.
+evaluation — runs vmapped over a `fold` axis and sharded across devices with
+jax.sharding.Mesh + NamedSharding, in one of two dispatch modes:
+"per_epoch" (default; one jitted all-folds program per epoch, host loop with
+early exit) or "fused" (the entire sweep as a single XLA program). Both are
+bit-identical. Device count does not need to divide the fold count: folds are
+padded with inert replicas whose results are dropped.
 
 Key design points (SURVEY.md §7 "Hard parts"):
   * Ragged folds: subjects have different window counts, so per-fold index
