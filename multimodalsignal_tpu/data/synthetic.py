@@ -65,6 +65,15 @@ def synthesize_subject(
     # normalization in the dataset layer load-bearing, like real WESAD.
     hr_off = rng.uniform(-8, 8) * subject_variability
     eda_off = rng.uniform(0.5, 2.0) ** subject_variability
+    # Subject-specific RESPONSE MAGNITUDE: at subject_variability > 1 some
+    # subjects are weak physiological responders (their condition deltas
+    # shrink toward baseline), which is what actually makes cross-subject
+    # LOSO generalization hard on real WESAD. 1.0 at default variability.
+    if subject_variability > 1.0:
+        response_scale = rng.uniform(0.15, 1.0)
+    else:
+        response_scale = 1.0
+    base_cond = _CONDITION["Base"]
 
     segments = {k: [] for k in ("ACC", "ECG", "EDA", "EMG", "Resp", "Temp")}
     order, starts, ends = [], [], []
@@ -72,6 +81,11 @@ def synthesize_subject(
     for task, dur_min in tasks:
         key = task.replace(" ", "").strip()
         cond = _CONDITION.get(key, _CONDITION["Base"])
+        if response_scale != 1.0:
+            cond = {
+                k: base_cond[k] + (cond[k] - base_cond[k]) * response_scale
+                for k in cond
+            }
         n = int(dur_min * 60 * fs)
         t = np.arange(n) / fs
         hr_hz = max(cond["hr"] + hr_off + rng.uniform(-2, 2) * noise, 35.0) / 60.0
