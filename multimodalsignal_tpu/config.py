@@ -25,6 +25,15 @@ ALL_CHANNEL_NAMES = tuple(
     + [f"chest_{c}" for c in ("ECG", "EDA", "EMG", "Resp", "Temp")]
 )
 
+# Wrist (Empatica E4) channels — an extension beyond the chest-only reference
+# code (its README's wrist mentions are drift, SURVEY.md §7 quirk e). Emitted
+# after the chest block when PreprocessConfig.include_wrist is set.
+WRIST_SENSORS = ("ACC", "BVP", "EDA", "TEMP")
+WRIST_CHANNEL_NAMES = tuple(
+    [f"wrist_ACC_{ax}" for ax in "xyz"]
+    + ["wrist_BVP", "wrist_EDA", "wrist_TEMP"]
+)
+
 # Raw WESAD protocol task -> original label (reference preprocess.py:28).
 TASK_TO_LABEL_MAP = {"Base": 1, "TSST": 2, "Fun": 3, "Medi1": 4, "Medi2": 4}
 
@@ -48,6 +57,10 @@ class PreprocessConfig:
     feature_window_sec: int = 60
     feature_stride_sec: int = 10
     subjects: tuple[str, ...] = ALL_SUBJECTS
+    # Also resample + window the wrist device's channels (each from its own
+    # native rate) onto the same grid; channels appended after the chest
+    # block. Extension beyond the chest-only reference.
+    include_wrist: bool = False
 
     @property
     def raw_window_samples(self) -> int:

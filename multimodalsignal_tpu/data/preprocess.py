@@ -34,6 +34,8 @@ from multimodalsignal_tpu.config import (
     ALL_CHANNEL_NAMES,
     CHEST_SENSORS,
     TASK_TO_LABEL_MAP,
+    WRIST_CHANNEL_NAMES,
+    WRIST_SENSORS,
     PreprocessConfig,
 )
 from multimodalsignal_tpu.data.features import FEATURE_NAMES, extract_features_batch
@@ -44,7 +46,12 @@ from multimodalsignal_tpu.data.windowing import (
     sliding_windows,
     sliding_windows_fast,
 )
-from multimodalsignal_tpu.data.wesad_io import chest_signals, load_subject_pkl
+from multimodalsignal_tpu.data.wesad_io import (
+    WRIST_RATES,
+    chest_signals,
+    load_subject_pkl,
+    wrist_signals,
+)
 
 
 def _write_names(path: Path, names) -> None:
@@ -61,6 +68,24 @@ def _resample_all(chest: dict[str, np.ndarray], original_fs: int, target_fs: int
         if sig.ndim == 1:
             sig = sig[:, None]
         cols.append(resample_signal(sig, original_fs, target_fs))
+    return np.concatenate(cols, axis=1)
+
+
+def _resample_wrist(wrist: dict[str, np.ndarray], target_fs: int,
+                    target_len: int) -> np.ndarray:
+    """Resample each wrist sensor from ITS native rate onto the common grid
+    and trim/pad to the chest grid length -> [target_len, 6]
+    (wrist_ACC_{x,y,z}, wrist_BVP, wrist_EDA, wrist_TEMP)."""
+    cols = []
+    for sensor in WRIST_SENSORS:
+        sig = np.asarray(wrist[sensor])
+        if sig.ndim == 1:
+            sig = sig[:, None]
+        res = resample_signal(sig, WRIST_RATES[sensor], target_fs)
+        if res.shape[0] < target_len:  # device clocks drift by a few samples
+            pad = np.repeat(res[-1:], target_len - res.shape[0], axis=0)
+            res = np.concatenate([res, pad], axis=0)
+        cols.append(res[:target_len])
     return np.concatenate(cols, axis=1)
 
 
@@ -84,6 +109,20 @@ def preprocess_subject(
     raw = feat = None
     if want_raw:
         raw = _resample_all(chest, cfg.original_chest_fs, cfg.raw_fs)
+        if cfg.include_wrist:
+            wrist = wrist_signals(data)
+            if wrist is None:
+                print(f"Warning: {sid} has no wrist data; "
+                      f"wrist channels filled with zeros.")
+                raw = np.concatenate(
+                    [raw, np.zeros((raw.shape[0], len(WRIST_CHANNEL_NAMES)))],
+                    axis=1,
+                )
+            else:
+                raw = np.concatenate(
+                    [raw, _resample_wrist(wrist, cfg.raw_fs, raw.shape[0])],
+                    axis=1,
+                )
     if "feature" in cfg.targets:
         if want_raw and cfg.feature_fs == cfg.raw_fs:
             feat = raw  # identical resample; the reference recomputes it
@@ -166,11 +205,14 @@ def run_preprocessing(cfg: PreprocessConfig, workers: int = 0) -> None:
     is host-CPU bound; subjects are embarrassingly parallel — the reference
     loops them serially under tqdm, preprocess.py:138)."""
     output = Path(cfg.output_path)
+    channel_names = list(ALL_CHANNEL_NAMES)
+    if cfg.include_wrist:
+        channel_names += list(WRIST_CHANNEL_NAMES)
     for target in cfg.targets:
         d = output / _TARGET_DIRS[target]
         d.mkdir(parents=True, exist_ok=True)
         if target in ("raw", "raw-align"):
-            _write_names(d / "_channel_names.txt", ALL_CHANNEL_NAMES)
+            _write_names(d / "_channel_names.txt", channel_names)
         else:
             _write_names(d / "_feature_names.txt", FEATURE_NAMES)
 
@@ -200,12 +242,16 @@ def main(argv=None) -> None:
     p.add_argument("--subjects", nargs="*", default=None)
     p.add_argument("--workers", type=int, default=0,
                    help="process this many subjects in parallel (0 = serial)")
+    p.add_argument("--include-wrist", action="store_true",
+                   help="also window the wrist device's channels "
+                        "(BVP/EDA/TEMP/ACC, each resampled from its native rate)")
     args = p.parse_args(argv)
     cfg = PreprocessConfig(
         wesad_root=args.wesad_root,
         output_path=args.output,
         targets=tuple(args.targets),
         subjects=tuple(args.subjects) if args.subjects else PreprocessConfig.subjects,
+        include_wrist=args.include_wrist,
     )
     run_preprocessing(cfg, workers=args.workers)
 

@@ -76,6 +76,9 @@ def synthesize_subject(
     base_cond = _CONDITION["Base"]
 
     segments = {k: [] for k in ("ACC", "ECG", "EDA", "EMG", "Resp", "Temp")}
+    # Wrist (Empatica E4) channels at their native rates (wesad_io.WRIST_RATES).
+    wrist_segments = {k: [] for k in ("ACC", "BVP", "EDA", "TEMP")}
+    wrist_fs = {"ACC": 32, "BVP": 64, "EDA": 4, "TEMP": 4}
     order, starts, ends = [], [], []
     cursor_min = 0.0
     for task, dur_min in tasks:
@@ -113,6 +116,22 @@ def synthesize_subject(
         segments["EMG"].append(emg[:, None])
         segments["Resp"].append(resp[:, None])
         segments["Temp"].append(temp[:, None])
+
+        # Wrist channels: BVP mirrors the cardiac rhythm, wrist EDA the tonic
+        # level, each at the E4's native rate.
+        tb = np.arange(int(dur_min * 60 * wrist_fs["BVP"])) / wrist_fs["BVP"]
+        bvp = np.sin(2 * np.pi * hr_hz * tb) + 0.1 * rng.standard_normal(tb.shape)
+        n_eda = int(dur_min * 60 * wrist_fs["EDA"])
+        w_eda = (np.full(n_eda, cond["eda"] * eda_off * 0.8)
+                 + 0.05 * noise * rng.standard_normal(n_eda))
+        n_tmp = int(dur_min * 60 * wrist_fs["TEMP"])
+        w_tmp = 33.0 + 0.02 * rng.standard_normal(n_tmp)
+        n_acc = int(dur_min * 60 * wrist_fs["ACC"])
+        w_acc = 0.1 * rng.standard_normal((n_acc, 3)) + np.array([0.0, 1.0, 0.0])
+        wrist_segments["BVP"].append(bvp[:, None])
+        wrist_segments["EDA"].append(w_eda[:, None])
+        wrist_segments["TEMP"].append(w_tmp[:, None])
+        wrist_segments["ACC"].append(w_acc)
         order.append(task)
         starts.append(cursor_min)
         ends.append(cursor_min + dur_min)
@@ -122,8 +141,12 @@ def synthesize_subject(
         k.encode(): np.concatenate(v, axis=0).astype(np.float64)
         for k, v in segments.items()
     }
+    wrist = {
+        k.encode(): np.concatenate(v, axis=0).astype(np.float64)
+        for k, v in wrist_segments.items()
+    }
     data = {
-        b"signal": {b"chest": chest},
+        b"signal": {b"chest": chest, b"wrist": wrist},
         b"subject": subject_id.encode(),
     }
     fmt = lambda xs: ";".join(str(v) for v in xs)

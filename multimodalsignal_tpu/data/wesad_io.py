@@ -36,3 +36,20 @@ def chest_signals(data: dict) -> dict[str, np.ndarray]:
     (reference preprocess.py:143-144 decodes the byte keys)."""
     chest = data[b"signal"][b"chest"]
     return {k.decode("utf-8"): np.asarray(v) for k, v in chest.items()}
+
+
+# Native sampling rates of the wrist (Empatica E4) device in WESAD.
+# The reference never ingests the wrist device (its code is chest-only;
+# its README's wrist mentions are drift — SURVEY.md §7 quirk e). Supported
+# here as an extension: each sensor is recorded at its own rate and must be
+# resampled individually onto the common grid.
+WRIST_RATES = {"ACC": 32, "BVP": 64, "EDA": 4, "TEMP": 4}
+
+
+def wrist_signals(data: dict) -> dict[str, np.ndarray] | None:
+    """Extract the wrist-device channel dict with str keys, or None when the
+    recording has no wrist data."""
+    wrist = data.get(b"signal", {}).get(b"wrist")
+    if wrist is None:
+        return None
+    return {k.decode("utf-8"): np.asarray(v) for k, v in wrist.items()}
