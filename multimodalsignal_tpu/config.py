@@ -164,6 +164,17 @@ class ExperimentConfig:
                 f"Unknown classification_mode: {self.classification_mode!r}; "
                 f"expected one of {CLASSIFICATION_MODES}"
             )
+        # num_classes must match the mode: a mismatch (e.g. --set
+        # classification_mode=ternary with the default num_classes=2) would
+        # silently clamp label 2 in the loss and drop it from the confusion
+        # matrix instead of erroring.
+        expected = 3 if self.classification_mode == "ternary" else 2
+        if self.num_classes != expected:
+            raise ValueError(
+                f"num_classes={self.num_classes} inconsistent with "
+                f"classification_mode={self.classification_mode!r} "
+                f"(expected {expected})"
+            )
 
 
 @dataclass(frozen=True)
@@ -194,25 +205,33 @@ def config_to_dict(cfg: Any) -> dict:
     return _to_jsonable(cfg)
 
 
-def save_config(cfg: Any, path: Path | str) -> None:
+def save_config(cfg: Any, path: Path | str, extra: dict | None = None) -> None:
+    """Serialize a config dataclass to JSON; `extra` merges additional
+    top-level keys (e.g. the data's preprocess meta) — unknown keys are
+    ignored by config_from_dict, so the file stays round-trippable."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    path.write_text(json.dumps(config_to_dict(cfg), indent=2) + "\n")
+    data = config_to_dict(cfg)
+    if extra:
+        data.update({k: v for k, v in extra.items() if v is not None})
+    path.write_text(json.dumps(data, indent=2) + "\n")
 
 
-def _from_dict(cls, data: dict):
-    kwargs = {}
-    for f in dataclasses.fields(cls):
-        if f.name not in data:
-            continue
-        v = data[f.name]
-        ftype = f.type if isinstance(f.type, type) else None
-        if dataclasses.is_dataclass(ftype) and isinstance(v, dict):
-            v = _from_dict(ftype, v)
-        elif isinstance(v, list):
-            v = tuple(v)
-        kwargs[f.name] = v
-    return cls(**kwargs)
+def load_config_file(path: Path | str) -> dict:
+    """Parse a config file into a plain dict: JSON always; YAML (.yaml/.yml)
+    when PyYAML is importable (the reference pins PyYAML but never imports it,
+    SURVEY.md §5 — here YAML is a first-class config format)."""
+    path = Path(path)
+    text = path.read_text()
+    if path.suffix.lower() in (".yaml", ".yml"):
+        try:
+            import yaml
+        except ImportError as e:
+            raise ImportError(
+                f"{path} is YAML but PyYAML is not installed; use JSON"
+            ) from e
+        return yaml.safe_load(text)
+    return json.loads(text)
 
 
 _NESTED = {
@@ -241,18 +260,31 @@ def config_from_dict(cls, data: dict):
 
 
 def apply_overrides(cfg, overrides: dict[str, Any]):
-    """Apply dotted-path overrides, e.g. {"trainer.learning_rate": 3e-4}."""
+    """Apply dotted-path overrides, e.g. {"trainer.learning_rate": 3e-4}.
+
+    Overrides sharing a parent are applied in ONE dataclasses.replace so
+    co-dependent fields (classification_mode + num_classes) validate together
+    rather than through an invalid intermediate config.
+    """
+    groups: dict[tuple, dict] = {}
     for key, value in overrides.items():
-        parts = key.split(".")
-        cfg = _replace_path(cfg, parts, value)
+        parts = tuple(key.split("."))
+        groups.setdefault(parts[:-1], {})[parts[-1]] = value
+    for parent, kv in groups.items():
+        cfg = _replace_at(cfg, parent, kv)
     return cfg
 
 
-def _replace_path(cfg, parts, value):
-    if len(parts) == 1:
-        current = getattr(cfg, parts[0])
-        if isinstance(current, tuple) and isinstance(value, (list, tuple)):
-            value = tuple(value)
-        return dataclasses.replace(cfg, **{parts[0]: value})
-    child = getattr(cfg, parts[0])
-    return dataclasses.replace(cfg, **{parts[0]: _replace_path(child, parts[1:], value)})
+def _replace_at(cfg, parent_path: tuple, kv: dict):
+    if not parent_path:
+        fixed = {}
+        for name, value in kv.items():
+            current = getattr(cfg, name)
+            if isinstance(current, tuple) and isinstance(value, (list, tuple)):
+                value = tuple(value)
+            fixed[name] = value
+        return dataclasses.replace(cfg, **fixed)
+    child = getattr(cfg, parent_path[0])
+    return dataclasses.replace(
+        cfg, **{parent_path[0]: _replace_at(child, parent_path[1:], kv)}
+    )

@@ -41,8 +41,6 @@ def gru_sequence(x_gates: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
     Returns outputs [B, T, H] (aligned to original time order for both
     directions, like torch's bidirectional output).
     """
-    hidden = h0.shape[-1]
-
     def step(h, xg):
         hg = h @ w_hh.T + b_hh
         xr, xz, xn = jnp.split(xg, 3, axis=-1)
@@ -55,7 +53,6 @@ def gru_sequence(x_gates: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
 
     xs = jnp.swapaxes(x_gates, 0, 1)  # [T, B, 3H] scan-major
     _, ys = jax.lax.scan(step, h0, xs, reverse=reverse)
-    del hidden
     return jnp.swapaxes(ys, 0, 1)  # [B, T, H]
 
 

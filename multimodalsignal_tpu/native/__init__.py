@@ -74,6 +74,15 @@ def sliding_windows_f32(signal: np.ndarray, starts: np.ndarray,
     signal = np.ascontiguousarray(signal, dtype=np.float32)
     starts = np.ascontiguousarray(starts, dtype=np.int64)
     t_total, channels = signal.shape
+    # The C++ gather does raw memcpy with no bounds check; an out-of-range
+    # start (e.g. a quest CSV whose end time overruns the recording) must
+    # fail loudly like the NumPy fallback's IndexError, not read garbage.
+    if len(starts) and (int(starts.min()) < 0
+                        or int(starts.max()) + window > t_total):
+        raise IndexError(
+            f"window [{int(starts.max())}, {int(starts.max()) + window}) "
+            f"out of bounds for signal of length {t_total}"
+        )
     out = np.empty((len(starts), window, channels), dtype=np.float32)
     lib.sliding_windows_f32(signal, t_total, channels, starts,
                             len(starts), window, out)

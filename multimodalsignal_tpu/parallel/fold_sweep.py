@@ -41,7 +41,12 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from multimodalsignal_tpu.config import ExperimentConfig, save_config
-from multimodalsignal_tpu.data.dataset import PackedCorpus, pack_corpus, read_channel_names
+from multimodalsignal_tpu.data.dataset import (
+    PackedCorpus,
+    pack_corpus,
+    read_channel_names,
+    read_preprocess_meta,
+)
 from multimodalsignal_tpu.experiments.loso import FoldResult, write_cv_summary
 from multimodalsignal_tpu.experiments.splits import loso_folds
 from multimodalsignal_tpu.models import build_model
@@ -86,6 +91,13 @@ def _pack_pools(pools: list[np.ndarray], pad_to_folds: int) -> tuple[np.ndarray,
     n = np.zeros(pad_to_folds, dtype=np.int32)
     for i, p in enumerate(pools):
         out[i, : len(p)] = p
+        # Pad with the fold's OWN first window, not global index 0: padded
+        # (zero-weight) rows still enter train-mode BatchNorm batch statistics
+        # in the boundary batch, and flat index 0 is subject row 0 — the
+        # held-out test subject in one fold. Within-fold padding keeps BN
+        # stats free of cross-fold/test-subject contamination.
+        if len(p) > 0:
+            out[i, len(p):] = p[0]
         n[i] = len(p)
     return out, n
 
@@ -191,6 +203,9 @@ class SweepResult(NamedTuple):
     # downstream composed inference (hierarchical path) and checkpoint export.
     final_params: Any = None
     final_batch_stats: Any = None
+    # Per-window test softmax probabilities [steps_te*B, C] (wrap-padded
+    # grid; trim to n_test per fold) — reference trainer.py:224-231.
+    test_probs: Any = None
 
 
 def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
@@ -225,6 +240,10 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
         return loss, wsum, new_bs, grads
 
     def eval_pass(state: TrainState, x, y, idx, w):
+        """Returns (mean loss, confusion matrix, softmax probs [steps*B, C])
+        — probs mirror the reference's eval-time collection
+        (trainer.py:224-231); the epoch path discards them (dead-code
+        eliminated by XLA), the test finalize exports them."""
         def step(carry, inp):
             loss_sum, w_sum, cm = carry
             bi, wb = inp
@@ -235,11 +254,12 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
             loss, wsum = cross_entropy(logits, y[bi], wb)
             preds = jnp.argmax(logits, axis=-1)
             cm = cm + M.confusion_matrix(y[bi], preds, num_classes, wb)
-            return (loss_sum + loss * wsum, w_sum + wsum, cm), None
+            return (loss_sum + loss * wsum, w_sum + wsum, cm), jax.nn.softmax(logits, axis=-1)
 
         init = (jnp.zeros(()), jnp.zeros(()), jnp.zeros((num_classes, num_classes)))
-        (loss_sum, w_sum, cm), _ = jax.lax.scan(step, init, (idx, w))
-        return loss_sum / jnp.maximum(w_sum, 1e-12), cm
+        (loss_sum, w_sum, cm), probs = jax.lax.scan(step, init, (idx, w))
+        return (loss_sum / jnp.maximum(w_sum, 1e-12), cm,
+                probs.reshape(-1, num_classes))
 
     def epoch_program(x, y, fb_train_pool, fb_n_train, fb_val_pool, fb_n_val,
                       carry, epoch):
@@ -273,7 +293,7 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
             )
             train_loss = loss_sum / jnp.maximum(w_sum, 1e-12)
 
-            val_loss, val_cm = eval_pass(new_state, x, y, val_idx, val_w)
+            val_loss, val_cm, _ = eval_pass(new_state, x, y, val_idx, val_w)
             val_acc = M.accuracy_from_cm(val_cm)
             val_f1 = M.weighted_f1_from_cm(val_cm)
 
@@ -328,9 +348,9 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
             TrainState(best_params, best_bs, state.opt_state), state,
         )
         test_idx, test_w = _sequential_grid(fb_test_pool, fb_n_test, steps_te, batch)
-        test_loss, test_cm = eval_pass(final_state, x, y, test_idx, test_w)
+        test_loss, test_cm, test_probs = eval_pass(final_state, x, y, test_idx, test_w)
         return (test_loss, test_cm, es.best_epoch,
-                final_state.params, final_state.batch_stats)
+                final_state.params, final_state.batch_stats, test_probs)
 
     def fold_program(x, y, fb_train_pool, fb_n_train, fb_val_pool, fb_n_val,
                      fb_test_pool, fb_n_test, init_state: TrainState, rng):
@@ -365,7 +385,7 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
             loop_cond, loop_body, (jnp.asarray(0, jnp.int32), carry0, logs0)
         )
         train_loss, val_loss, val_acc, val_f1, lr, ran = logs
-        test_loss, test_cm, best_epoch, fparams, fbs = finalize_program(
+        test_loss, test_cm, best_epoch, fparams, fbs, test_probs = finalize_program(
             x, y, fb_test_pool, fb_n_test, carry
         )
         return SweepResult(
@@ -376,6 +396,7 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
             test_cm=test_cm,
             final_params=fparams,
             final_batch_stats=fbs,
+            test_probs=test_probs,
         )
 
     return {
@@ -390,19 +411,73 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
 # Sweep driver
 # ---------------------------------------------------------------------------
 
+class SweepAborted(RuntimeError):
+    """Raised by run_fold_sweep's abort_after_epoch preemption drill."""
+
+
+_RESUME_STATE = "sweep_resume.msgpack"
+_RESUME_LOGS = "sweep_resume_logs.npz"
+_RESUME_META = "sweep_resume_meta.json"
+
+
+def _save_sweep_resume(run_dir: Path, carry, logs: list, next_epoch: int) -> None:
+    """Persist the complete sweep carry + per-epoch logs. The carry holds
+    every fold's params/BN stats/Adam moments/best state/early-stop &
+    plateau machines/RNG/stop flag, so restoring it resumes training
+    bit-exactly."""
+    import json
+
+    from multimodalsignal_tpu.train.checkpoints import save_state
+
+    save_state(run_dir / _RESUME_STATE, carry)
+    stacked = {f"c{j}": np.stack(col, axis=1) for j, col in enumerate(zip(*logs))}
+    np.savez(run_dir / _RESUME_LOGS, **stacked)
+    (run_dir / _RESUME_META).write_text(json.dumps({"next_epoch": next_epoch}))
+
+
+def _load_sweep_resume(run_dir: Path, carry_template):
+    """Restore (carry, logs, next_epoch) or None when no checkpoint exists."""
+    import json
+
+    from multimodalsignal_tpu.train.checkpoints import restore_state
+
+    state_path = run_dir / _RESUME_STATE
+    if not state_path.exists():
+        return None
+    next_epoch = int(json.loads((run_dir / _RESUME_META).read_text())["next_epoch"])
+    template = jax.tree_util.tree_map(np.asarray, carry_template)
+    carry = restore_state(state_path, template)
+    with np.load(run_dir / _RESUME_LOGS) as data:
+        cols = [data[f"c{j}"] for j in range(len(data.files))]
+    logs = [tuple(c[:, e] for c in cols) for e in range(next_epoch)]
+    return carry, logs, next_epoch
+
+
 def run_fold_sweep(
     corpus: PackedCorpus,
     fb: FoldBatch,
     cfg: ExperimentConfig,
     mesh: Mesh | None = None,
     dispatch: str | None = None,
+    run_dir: Path | str | None = None,
+    abort_after_epoch: int | None = None,
 ) -> SweepResult:
     """Run every fold as one sharded, vmapped computation; returns per-fold
     stacked SweepResult (fold axis first, padded folds included).
 
     dispatch: "per_epoch" (default) jits one all-folds epoch program and
     loops epochs host-side; "fused" compiles the entire sweep (epoch
-    while_loop included) into a single XLA program."""
+    while_loop included) into a single XLA program.
+
+    Fault tolerance (per_epoch only; SURVEY.md §5 checkpoint/resume): with
+    `run_dir` set and cfg.trainer.checkpoint_every > 0, the complete sweep
+    carry (per-fold train state, best state, early-stop/plateau machines,
+    RNG streams, stop flags) plus the epoch logs are persisted every N
+    epochs; cfg.trainer.resume=True restores them and continues — the final
+    metrics are bit-identical to an uninterrupted run because the carry IS
+    the whole training state. `abort_after_epoch` simulates preemption
+    (raises SweepAborted right after that epoch's checkpoint) for tests/ops
+    drills."""
     num_folds = fb.train_pool.shape[0]
     if mesh is None:
         mesh, padded = make_fold_mesh(num_folds)
@@ -487,32 +562,45 @@ def run_fold_sweep(
     carry = jax.device_put(carry, fold_sharding)
 
     epochs = cfg.trainer.epochs
-    logs = []
-    epochs_ran = 0
+    logs: list = []
+    start_epoch = 0
+    checkpoint_every = cfg.trainer.checkpoint_every if run_dir else 0
+    if run_dir is not None and cfg.trainer.resume:
+        restored = _load_sweep_resume(Path(run_dir), carry)
+        if restored is not None:
+            carry, logs, start_epoch = restored
+            carry = jax.device_put(carry, fold_sharding)
+            print(f"  resumed sweep from epoch {start_epoch}", flush=True)
+
+    epochs_ran = start_epoch
     t_train = time.time()
     with mesh:
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             carry, log = epoch_fn(x_dev, y_dev, tr_pool, n_tr, va_pool, n_va,
                                   carry, jnp.asarray(epoch, jnp.int32))
-            logs.append(log)
+            logs.append(jax.tree_util.tree_map(np.asarray, log))
             epochs_ran = epoch + 1
             stopped = np.asarray(carry[5])
-            if epoch == 0 or (epoch + 1) % 10 == 0 or stopped.all():
+            if epoch == start_epoch or (epoch + 1) % 10 == 0 or stopped.all():
                 val_loss = np.asarray(log[1])
                 active = int((~stopped).sum())
                 print(f"  epoch {epoch + 1}/{epochs} | "
                       f"mean val loss {float(val_loss.mean()):.4f} | "
                       f"{active} folds active | "
                       f"{time.time() - t_train:.1f}s", flush=True)
+            if checkpoint_every > 0 and (epoch + 1) % checkpoint_every == 0:
+                _save_sweep_resume(Path(run_dir), carry, logs, epoch + 1)
+            if abort_after_epoch is not None and epoch + 1 >= abort_after_epoch:
+                raise SweepAborted(f"aborted after epoch {epoch + 1} (drill)")
             if stopped.all():
                 print(f"  all folds early-stopped at epoch {epoch + 1}")
                 break
-        test_loss, test_cm, best_epoch, fparams, fbs = finalize_fn(
+        test_loss, test_cm, best_epoch, fparams, fbs, test_probs = finalize_fn(
             x_dev, y_dev, te_pool, n_te, carry
         )
 
     # Stack per-epoch logs to [F, epochs] (zero-padded past the exit).
-    stacked = [np.asarray(jnp.stack(column, axis=1)) for column in zip(*logs)]
+    stacked = [np.stack(column, axis=1) for column in zip(*logs)]
     padded_logs = []
     for arr in stacked:
         out = np.zeros((num_folds, epochs), dtype=arr.dtype)
@@ -527,6 +615,7 @@ def run_fold_sweep(
         test_cm=np.asarray(test_cm),
         final_params=jax.tree_util.tree_map(np.asarray, fparams),
         final_batch_stats=jax.tree_util.tree_map(np.asarray, fbs),
+        test_probs=np.asarray(test_probs),
     )
 
 
@@ -543,7 +632,8 @@ def run_sharded_experiment(
     t0 = time.time()
     run_output_dir = Path(run_output_dir)
     run_output_dir.mkdir(parents=True, exist_ok=True)
-    save_config(cfg, run_output_dir / "config.json")
+    save_config(cfg, run_output_dir / "config.json",
+                extra={"preprocess_meta": read_preprocess_meta(cfg.data_path)})
     if all_channel_names is None:
         all_channel_names = read_channel_names(cfg.data_path)
 
@@ -565,7 +655,7 @@ def run_sharded_experiment(
     if profile_dir is not None:
         jax.profiler.start_trace(str(profile_dir))
     try:
-        result = run_fold_sweep(corpus, fb, cfg, mesh)
+        result = run_fold_sweep(corpus, fb, cfg, mesh, run_dir=run_output_dir)
     finally:
         if profile_dir is not None:
             jax.profiler.stop_trace()
@@ -586,6 +676,10 @@ def run_sharded_experiment(
         fold_dir = run_output_dir / f"fold_test_on_{subject}"
         _write_fold_log(fold_dir, result, i, epochs_run, acc, f1)
         _export_fold_checkpoint(fold_dir, result, i, cfg)
+        if result.test_probs is not None:
+            fold_dir.mkdir(parents=True, exist_ok=True)
+            np.save(fold_dir / "test_probs.npy",
+                    np.asarray(result.test_probs[i])[: int(fb.n_test[i])])
 
     summary = write_cv_summary(run_output_dir / "cv_summary.txt", cfg, results)
     summary["sweep_wall_s"] = time.time() - t0

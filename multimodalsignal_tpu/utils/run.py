@@ -18,13 +18,23 @@ def make_run_dir(output_root: Path | str, run_name: str) -> Path:
 
 
 class TeeLogger:
-    """Tee messages to stdout and a log file (reference trainer.py:113-117)."""
+    """Tee messages to stdout and a log file (reference trainer.py:113-117).
 
-    def __init__(self, log_file: Path | str, header: str | None = None):
+    With append=True an existing log is preserved and the header is appended
+    as a banner instead of truncating — so a resumed run (TrainerConfig.resume)
+    keeps the epochs logged before the resume point.
+    """
+
+    def __init__(self, log_file: Path | str, header: str | None = None,
+                 append: bool = False):
         self.log_file = Path(log_file)
         self.log_file.parent.mkdir(parents=True, exist_ok=True)
         if header is not None:
-            self.log_file.write_text(header + "\n" + "=" * 50 + "\n")
+            if append and self.log_file.exists():
+                with open(self.log_file, "a") as f:
+                    f.write("\n--- " + header + " ---\n")
+            else:
+                self.log_file.write_text(header + "\n" + "=" * 50 + "\n")
 
     def __call__(self, message: str) -> None:
         print(message)

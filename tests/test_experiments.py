@@ -96,6 +96,7 @@ def serial_run(preprocessed, tmp_path_factory):  # noqa: F811
     return cfg, run_dir, results, summary
 
 
+@pytest.mark.slow
 def test_serial_experiment_artifacts(serial_run):
     cfg, run_dir, results, summary = serial_run
     assert len(results) == 3
@@ -119,6 +120,7 @@ def test_serial_experiment_artifacts(serial_run):
 # Hierarchical end-to-end
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_hierarchical_experiment(preprocessed, tmp_path):  # noqa: F811
     from multimodalsignal_tpu.experiments.hierarchical import (
         run_hierarchical_experiment,
@@ -162,6 +164,7 @@ def test_cli_config_loading(tmp_path):
         "--set", "trainer.learning_rate=0.01",
         "--set", "channels_to_use=chest_ECG,chest_EDA",
         "--set", "num_classes=3",
+        "--set", "classification_mode=ternary",
     ])
     cfg = load_config(args)
     assert cfg.run_name == "from_file"
@@ -169,8 +172,41 @@ def test_cli_config_loading(tmp_path):
     assert cfg.trainer.learning_rate == 0.01
     assert cfg.channels_to_use == ("chest_ECG", "chest_EDA")
     assert cfg.num_classes == 3
+    assert cfg.classification_mode == "ternary"
 
 
+def test_config_rejects_mode_class_mismatch():
+    """classification_mode=ternary with num_classes=2 would silently clamp
+    label 2 in the loss; it must error at construction instead."""
+    import pytest
+
+    from multimodalsignal_tpu.config import ExperimentConfig
+
+    with pytest.raises(ValueError, match="num_classes"):
+        ExperimentConfig(classification_mode="ternary")  # default num_classes=2
+    with pytest.raises(ValueError, match="num_classes"):
+        ExperimentConfig(classification_mode="stress_binary", num_classes=3)
+    ExperimentConfig(classification_mode="ternary", num_classes=3)  # ok
+
+
+def test_yaml_config_loading(tmp_path):
+    from multimodalsignal_tpu.main import build_parser, load_config
+
+    cfg_file = tmp_path / "cfg.yaml"
+    cfg_file.write_text(
+        "run_name: from_yaml\n"
+        "trainer:\n"
+        "  epochs: 9\n"
+        "channels_to_use: [chest_ECG]\n"
+    )
+    args = build_parser().parse_args(["--config", str(cfg_file)])
+    cfg = load_config(args)
+    assert cfg.run_name == "from_yaml"
+    assert cfg.trainer.epochs == 9
+    assert cfg.channels_to_use == ("chest_ECG",)
+
+
+@pytest.mark.slow
 def test_cli_end_to_end(preprocessed, tmp_path):  # noqa: F811
     """`python -m multimodalsignal_tpu.main` equivalent run, serial path."""
     from multimodalsignal_tpu.main import main

@@ -87,6 +87,7 @@ def test_make_fold_mesh_padding():
     assert padded >= 15
 
 
+@pytest.mark.slow
 def test_sharded_experiment_end_to_end(preprocessed, tmp_path):  # noqa: F811
     """Full sharded LOSOCV over the 8-device CPU mesh: one jitted program
     trains all folds; artifacts match the serial contract."""
@@ -111,11 +112,16 @@ def test_sharded_experiment_end_to_end(preprocessed, tmp_path):  # noqa: F811
         log = (tmp_path / f"fold_test_on_{r.subject}" / "training_log.txt").read_text()
         assert "Final test results" in log
         assert f"test acc: {r.accuracy:.4f}" in log
+        # Per-window test probabilities exported from the sweep.
+        probs = np.load(tmp_path / f"fold_test_on_{r.subject}" / "test_probs.npy")
+        assert probs.ndim == 2 and probs.shape[1] == 2 and len(probs) > 0
+        np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-5)
     # History must be finite for the epochs that ran.
     accs = [r.accuracy for r in results]
     assert np.isfinite(accs).all()
 
 
+@pytest.mark.slow
 def test_dispatch_modes_equivalent():
     """'fused' (single XLA program) and 'per_epoch' (host epoch loop) must
     produce bit-identical per-fold results."""
@@ -150,6 +156,7 @@ def test_dispatch_modes_equivalent():
                                   np.asarray(r_epoch.stop_epoch))
 
 
+@pytest.mark.slow
 def test_hierarchical_sharded(preprocessed, tmp_path):  # noqa: F811
     """Two sharded sweeps + vmapped composed ternary eval on the CPU mesh."""
     from multimodalsignal_tpu.config import HierarchicalConfig
@@ -181,6 +188,7 @@ def test_hierarchical_sharded(preprocessed, tmp_path):  # noqa: F811
         assert 0.0 <= r.composed_accuracy <= 1.0
 
 
+@pytest.mark.slow
 def test_sharded_run_exports_usable_checkpoints(preprocessed, tmp_path):  # noqa: F811
     """Sharded runs must write per-fold best_model.msgpack that Predictor
     can load and use on a raw recording."""
@@ -205,3 +213,70 @@ def test_sharded_run_exports_usable_checkpoints(preprocessed, tmp_path):  # noqa
     result = predictor.predict_recording(root / "S99" / "S99.pkl")
     assert len(result.labels) > 0
     assert np.isfinite(result.probs).all()
+
+
+def test_pack_pools_pad_within_fold():
+    """Padded pool slots must reference the fold's OWN windows (not global
+    flat index 0 = another fold's test subject) so zero-weight padded rows
+    can't contaminate train-mode BatchNorm statistics across folds."""
+    from multimodalsignal_tpu.parallel.fold_sweep import _pack_pools
+
+    pools = [np.asarray([7, 8, 9]), np.asarray([42])]
+    out, n = _pack_pools(pools, pad_to_folds=3)
+    assert n.tolist() == [3, 1, 0]
+    assert out[0].tolist() == [7, 8, 9]
+    assert out[1].tolist() == [42, 42, 42]  # padded with own first index
+
+
+@pytest.mark.slow
+def test_sweep_resume_bit_identical(tmp_path):
+    """Kill the sweep mid-run (preemption drill) and resume from the sweep
+    checkpoint: final metrics must be bit-identical to an uninterrupted run
+    (VERDICT: sweep-level fault tolerance, SURVEY.md §5)."""
+    import dataclasses
+
+    from jax.sharding import Mesh
+
+    from multimodalsignal_tpu.data.dataset import PackedCorpus
+    from multimodalsignal_tpu.parallel.fold_sweep import SweepAborted, run_fold_sweep
+
+    rng_np = np.random.default_rng(7)
+    s, wmax, c, t = 4, 12, 2, 128
+    corpus = PackedCorpus(
+        x=rng_np.standard_normal((s, wmax, c, t)).astype(np.float32),
+        y=rng_np.integers(0, 2, (s, wmax)).astype(np.int32),
+        mask=np.ones((s, wmax), dtype=bool),
+        subjects=tuple(f"S{i+2}" for i in range(s)),
+    )
+    fb = build_fold_batch(corpus, list(corpus.subjects), pad_folds_to=4)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("fold",))
+    cfg = ExperimentConfig(
+        subjects=corpus.subjects,
+        channels_to_use=("chest_ECG", "chest_EDA"),
+        model=ModelConfig(cnn_out_channels=4, gru_hidden_size=4, gru_num_layers=1),
+        trainer=TrainerConfig(epochs=5, batch_size=8,
+                              early_stopping=EarlyStoppingConfig(patience=10)),
+    )
+    r_full = run_fold_sweep(corpus, fb, cfg, mesh)
+
+    cfg_ckpt = dataclasses.replace(
+        cfg, trainer=dataclasses.replace(cfg.trainer, checkpoint_every=2, resume=True)
+    )
+    with pytest.raises(SweepAborted):
+        run_fold_sweep(corpus, fb, cfg_ckpt, mesh, run_dir=tmp_path,
+                       abort_after_epoch=3)
+    assert (tmp_path / "sweep_resume.msgpack").exists()
+    r_resumed = run_fold_sweep(corpus, fb, cfg_ckpt, mesh, run_dir=tmp_path)
+
+    np.testing.assert_array_equal(np.asarray(r_full.test_cm),
+                                  np.asarray(r_resumed.test_cm))
+    np.testing.assert_array_equal(np.asarray(r_full.test_loss),
+                                  np.asarray(r_resumed.test_loss))
+    np.testing.assert_array_equal(np.asarray(r_full.history.val_loss),
+                                  np.asarray(r_resumed.history.val_loss))
+    np.testing.assert_array_equal(np.asarray(r_full.history.train_loss),
+                                  np.asarray(r_resumed.history.train_loss))
+    np.testing.assert_array_equal(np.asarray(r_full.best_epoch),
+                                  np.asarray(r_resumed.best_epoch))
+    np.testing.assert_array_equal(np.asarray(r_full.stop_epoch),
+                                  np.asarray(r_resumed.stop_epoch))

@@ -51,3 +51,40 @@ def test_matches_dataset_normalize_subject(rng):
     mean, std = native.channel_stats_f32(x, mask)
     got = native.normalize_windows_f32(x.copy(), mean, std + 1e-8, mask)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_sliding_windows_bounds_check(rng):
+    """The native gather must reject out-of-range starts loudly (IndexError)
+    instead of memcpy-ing past the signal buffer."""
+    import pytest
+
+    from multimodalsignal_tpu import native
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    sig = rng.standard_normal((100, 3)).astype(np.float32)
+    with pytest.raises(IndexError):
+        native.sliding_windows_f32(sig, np.asarray([0, 90], np.int64), window=20)
+    with pytest.raises(IndexError):
+        native.sliding_windows_f32(sig, np.asarray([-1], np.int64), window=20)
+
+
+def test_normalize_subject_native_production_path(rng):
+    """normalize_subject auto-routes float32 inputs through the C++ engine
+    (the production call sites: pack_corpus/build_dataset load float32 npy);
+    it must agree with the NumPy float64 oracle to float32 round-off, for
+    both normalization schemes."""
+    from multimodalsignal_tpu.data.dataset import normalize_subject
+
+    x = np.abs(rng.standard_normal((24, 128, 3)) + 2).astype(np.float32)
+    y_raw = rng.integers(1, 5, 24)
+    names = ["chest_ECG", "chest_EDA", "chest_Resp"]
+    for scheme in ("all", "baseline"):
+        got = normalize_subject(x, y_raw, names, scheme)  # auto -> native
+        want = normalize_subject(x, y_raw, names, scheme, use_native=False)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    # No baseline windows -> all-data fallback, still matching.
+    y_nobase = np.full(24, 2)
+    got = normalize_subject(x, y_nobase, names, "baseline")
+    want = normalize_subject(x, y_nobase, names, "baseline", use_native=False)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

@@ -19,3 +19,20 @@ def test_tee_logger(tmp_path, capsys):
     assert "line one\n" in text and "line two\n" in text
     out = capsys.readouterr().out
     assert "line one" in out and "line two" in out
+
+
+def test_tee_logger_append_preserves_log(tmp_path):
+    """A resumed Trainer must not truncate the pre-resume epochs."""
+    path = tmp_path / "log.txt"
+    log = TeeLogger(path, header="run 1")
+    log("epoch 1")
+    log2 = TeeLogger(path, header="resumed", append=True)
+    log2("epoch 2")
+    text = path.read_text()
+    assert "epoch 1" in text and "epoch 2" in text and "resumed" in text
+
+
+def test_tee_logger_append_fresh_file(tmp_path):
+    path = tmp_path / "log.txt"
+    TeeLogger(path, header="hello", append=True)
+    assert path.read_text().startswith("hello\n")
