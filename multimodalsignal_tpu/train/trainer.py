@@ -98,8 +98,10 @@ def make_epoch_fns(model, tx, num_classes: int, class_weights=None):
 
     train_epoch(state, x, y, idx, w, rng) -> (state, mean_train_loss)
       idx [steps, B] wrap-padded indices, w [steps, B] 0/1 sample weights.
-    eval_dataset(state, x, y, idx, w) -> (loss, cm, preds)
-      cm [num_classes, num_classes]; preds [steps*B] (host computes artifacts).
+    eval_dataset(state, x, y, idx, w) -> (loss, cm, probs)
+      cm [num_classes, num_classes]; probs [steps*B, num_classes] softmax
+      (the per-window probabilities the reference collects at evaluation,
+      trainer.py:224-231; predictions are their argmax).
     """
 
     def loss_fn(params, batch_stats, xb, yb, wb, dropout_rng, train):
@@ -160,11 +162,13 @@ def make_epoch_fns(model, tx, num_classes: int, class_weights=None):
             loss, wsum = cross_entropy(logits, yb, wb, class_weights)
             preds = jnp.argmax(logits, axis=-1)
             cm = cm + M.confusion_matrix(yb, preds, num_classes, wb)
-            return (loss_sum + loss * wsum, w_sum + wsum, cm), preds
+            probs = jax.nn.softmax(logits, axis=-1)
+            return (loss_sum + loss * wsum, w_sum + wsum, cm), probs
 
         init = (jnp.zeros(()), jnp.zeros(()), jnp.zeros((num_classes, num_classes)))
-        (loss_sum, w_sum, cm), preds = jax.lax.scan(step, init, (idx, w))
-        return loss_sum / jnp.maximum(w_sum, 1e-12), cm, preds.reshape(-1)
+        (loss_sum, w_sum, cm), probs = jax.lax.scan(step, init, (idx, w))
+        return (loss_sum / jnp.maximum(w_sum, 1e-12), cm,
+                probs.reshape(-1, num_classes))
 
     return train_epoch, eval_dataset
 
@@ -225,6 +229,10 @@ class Trainer:
             self.log_file,
             header=f"Training log for run starting at "
                    f"{time.strftime('%Y-%m-%d %H:%M:%S')}",
+            # A resumed run appends to the existing log instead of wiping the
+            # pre-resume epochs (the artifact continuity the resume feature
+            # exists for).
+            append=cfg.resume,
         )
         self.seed = seed
         self.steps_per_epoch = steps_per_epoch
@@ -350,21 +358,26 @@ class Trainer:
     def evaluate(self, ds, is_test: bool = False, is_val: bool = False):
         x, y = self._stage(ds)
         idx, w = batch_indices(int(y.shape[0]), self.cfg.batch_size)
-        loss, cm, preds = self._eval(
+        loss, cm, probs = self._eval(
             self.state, x, y, jnp.asarray(idx), jnp.asarray(w)
         )
         acc = float(M.accuracy_from_cm(cm))
         f1 = float(M.weighted_f1_from_cm(cm))
         loss = float(loss)
+        n = int(y.shape[0])
+        probs_np = np.asarray(probs)[:n]
+        preds_np = probs_np.argmax(axis=-1)
         if is_test:
             labels_np = np.asarray(y)
-            preds_np = np.asarray(preds)[: len(labels_np)]
             self.plot_confusion_matrix(labels_np, preds_np, "test_confusion_matrix.png")
+            # Per-window softmax probabilities — the reference collects these
+            # at evaluation (trainer.py:224-231); persisted as an artifact so
+            # downstream calibration/threshold analysis has them.
+            np.save(self.fold_dir / "test_probs.npy", probs_np)
             self._log("\n--- Final test results ---")
             self._log(f"test loss: {loss:.4f} | test acc: {acc:.4f} | test F1: {f1:.4f}")
             return loss, acc, f1
         if is_val:
-            preds_np = np.asarray(preds)[: int(y.shape[0])]
             return loss, acc, f1, preds_np, np.asarray(y)
         return loss, acc, f1
 

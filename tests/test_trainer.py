@@ -35,6 +35,7 @@ def test_batch_indices_contract(rng):
     assert w2[3:].sum() == 0 and w2.sum() == 10
 
 
+@pytest.mark.slow
 def test_trainer_learns_and_writes_artifacts(tmp_path, rng):
     x, y = _toy_problem(rng)
     x_val, y_val = _toy_problem(rng, n=32)
@@ -53,8 +54,15 @@ def test_trainer_learns_and_writes_artifacts(tmp_path, rng):
     assert (tmp_path / "fold" / "best_model.msgpack").exists()
     log = (tmp_path / "fold" / "training_log.txt").read_text()
     assert "val acc" in log and "Final test results" in log
+    # Per-window softmax probabilities (reference trainer.py:224-231).
+    probs = np.load(tmp_path / "fold" / "test_probs.npy")
+    assert probs.shape == (len(y_test), 2)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-5)
+    # Their argmax reproduces the reported accuracy.
+    assert (probs.argmax(axis=1) == y_test).mean() == pytest.approx(acc, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_trainer_early_stops(tmp_path):
     """On pure noise with a DISJOINT validation set (memorizing the train set
     cannot improve val loss), patience must fire well before the horizon.
@@ -111,6 +119,7 @@ def test_lockstep_steps_equivalent_updates(tmp_path, rng):
     np.testing.assert_allclose(la, lb, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_mid_run_resume_bitwise(tmp_path, rng):
     """Interrupt-and-resume must reproduce the uninterrupted run exactly
     (full state + replayed RNG streams) — capability absent in the reference
