@@ -35,6 +35,18 @@ def read_channel_names(data_path: Path | str) -> list[str]:
         return [line.strip() for line in f if line.strip()]
 
 
+def read_preprocess_meta(data_path: Path | str) -> dict | None:
+    """Read the _preprocess_meta.json the preprocessor writes next to the
+    windowed npy files (fs/window/stride contract for serving-time replays);
+    None for data produced before the meta file existed."""
+    import json
+
+    path = Path(data_path) / "_preprocess_meta.json"
+    if not path.exists():
+        return None
+    return json.loads(path.read_text())
+
+
 def load_subject_windows(data_path: Path | str, sid: str):
     """Load one subject's (X [N, T, C_all], y_raw [N]) or None if missing
     (reference dataset.py:20-22 warns and skips)."""
@@ -73,6 +85,7 @@ def normalize_subject(
     y_raw: np.ndarray,
     channel_names: list[str],
     scheme: str = "all",
+    use_native: bool | None = None,
 ) -> np.ndarray:
     """Per-subject normalization of [N, T, C] windows (float64 stats).
 
@@ -83,11 +96,23 @@ def normalize_subject(
                        fallback when a subject has no Base windows
                        (reference void/dataset.py:30-55).
     scheme="none":     passthrough (for pre-normalized or synthetic data).
+
+    use_native=None (auto) routes float32 inputs through the C++ engine's
+    channel_stats_f32/normalize_windows_f32 when available (double-precision
+    accumulation over the float32 data; agrees with the NumPy path to
+    float32 round-off — tests/test_native.py); float64 inputs and
+    use_native=False take the NumPy float64 oracle below.
     """
     if scheme == "none":
         return x.astype(np.float32)
     if scheme not in NORMALIZATION_SCHEMES:
         raise ValueError(f"Unknown normalization scheme: {scheme}")
+    if use_native is None:
+        use_native = np.asarray(x).dtype == np.float32
+    if use_native:
+        out = _normalize_subject_native(x, y_raw, channel_names, scheme)
+        if out is not None:
+            return out
     x = np.asarray(x, dtype=np.float64)
     out = np.empty_like(x, dtype=np.float32)
     if scheme == "baseline":
@@ -106,6 +131,36 @@ def normalize_subject(
             mean, std = ref[:, :, c].mean(), ref[:, :, c].std() + 1e-8
             out[:, :, c] = ((x[:, :, c] - mean) / std).astype(np.float32)
     return out
+
+
+def _normalize_subject_native(
+    x: np.ndarray, y_raw: np.ndarray, channel_names: list[str], scheme: str
+) -> np.ndarray | None:
+    """C++-engine z-score of float32 windows; None -> caller falls back to
+    the NumPy path (engine unavailable or any native failure)."""
+    try:
+        from multimodalsignal_tpu import native
+
+        if not native.available():
+            return None
+        xw = np.ascontiguousarray(x, dtype=np.float32)
+        log1p_mask = np.array(
+            [name == EDA_CHANNEL for name in channel_names], dtype=np.uint8
+        )
+        if scheme == "baseline":
+            if (y_raw == 1).any():
+                ref = np.ascontiguousarray(xw[y_raw == 1])
+            else:
+                print("Warning: no baseline windows; "
+                      "falling back to all-data stats.")
+                ref = xw
+        else:
+            ref = xw
+        mean, std = native.channel_stats_f32(ref, log1p_mask)
+        return native.normalize_windows_f32(xw.copy(), mean, std + 1e-8,
+                                            log1p_mask)
+    except Exception:
+        return None
 
 
 def normalize_features(

@@ -213,6 +213,18 @@ def run_preprocessing(cfg: PreprocessConfig, workers: int = 0) -> None:
         d.mkdir(parents=True, exist_ok=True)
         if target in ("raw", "raw-align"):
             _write_names(d / "_channel_names.txt", channel_names)
+            # Serving-time contract: the Predictor replays this windowing on
+            # raw recordings, so persist the parameters next to the data
+            # instead of hardcoding 700->128 Hz / 60 s / 10 s downstream.
+            import json
+
+            (d / "_preprocess_meta.json").write_text(json.dumps({
+                "original_fs": cfg.original_chest_fs,
+                "fs": cfg.raw_fs,
+                "window_sec": cfg.raw_window_sec,
+                "stride_sec": cfg.raw_stride_sec,
+                "include_wrist": cfg.include_wrist,
+            }, indent=2) + "\n")
         else:
             _write_names(d / "_feature_names.txt", FEATURE_NAMES)
 

@@ -20,7 +20,11 @@ from pathlib import Path
 import numpy as np
 
 from multimodalsignal_tpu.config import ExperimentConfig, config_to_dict, save_config
-from multimodalsignal_tpu.data.dataset import build_dataset, read_channel_names
+from multimodalsignal_tpu.data.dataset import (
+    build_dataset,
+    read_channel_names,
+    read_preprocess_meta,
+)
 from multimodalsignal_tpu.experiments.splits import loso_folds
 from multimodalsignal_tpu.models import build_model
 from multimodalsignal_tpu.train.trainer import Trainer
@@ -98,7 +102,8 @@ def run_simple_experiment(
     """Run the full LOSO sweep serially; returns (per-fold results, summary)."""
     run_output_dir = Path(run_output_dir)
     run_output_dir.mkdir(parents=True, exist_ok=True)
-    save_config(cfg, run_output_dir / "config.json")
+    save_config(cfg, run_output_dir / "config.json",
+                extra={"preprocess_meta": read_preprocess_meta(cfg.data_path)})
     if all_channel_names is None:
         all_channel_names = read_channel_names(cfg.data_path)
 

@@ -99,8 +99,8 @@ class Predictor:
     # -- constructors ---------------------------------------------------------
     @classmethod
     def from_files(cls, checkpoint: Path | str, config: Path | str) -> "Predictor":
-        cfg = config_from_dict(ExperimentConfig,
-                               json.loads(Path(config).read_text()))
+        raw = json.loads(Path(config).read_text())
+        cfg = config_from_dict(ExperimentConfig, raw)
         model = build_model(cfg.model, cfg.num_classes)
         tx = make_optimizer(cfg.trainer.learning_rate, cfg.trainer.weight_decay)
         # Template for restore: param shapes are T-independent, any window
@@ -108,7 +108,18 @@ class Predictor:
         sample = jnp.zeros((1, len(cfg.channels_to_use), 128 * 60), jnp.float32)
         template = init_train_state(model, jax.random.PRNGKey(0), sample, tx)
         state = restore_state(checkpoint, template)
-        return cls(cfg, state)
+        # Windowing parameters travel with the run (the orchestrators embed
+        # the data's _preprocess_meta.json into config.json) so serving
+        # replays the training-time resample/window/stride instead of
+        # assuming 700->128 Hz / 60 s / 10 s.
+        meta = raw.get("preprocess_meta") or {}
+        return cls(
+            cfg, state,
+            original_fs=int(meta.get("original_fs", 700)),
+            target_fs=int(meta.get("fs", 128)),
+            window_sec=int(meta.get("window_sec", 60)),
+            stride_sec=int(meta.get("stride_sec", 10)),
+        )
 
     @classmethod
     def from_run(cls, run_dir: Path | str, fold: str) -> "Predictor":
@@ -140,7 +151,20 @@ class Predictor:
         # Per-recording normalization = the training scheme's per-subject
         # statistics (all windows; no labels exist at inference time).
         y_dummy = np.ones(len(win), dtype=np.int64)
-        scheme = "all" if self.cfg.normalization == "baseline" else self.cfg.normalization
+        scheme = self.cfg.normalization
+        if scheme == "baseline":
+            # Training stats came from Base-protocol windows only
+            # (void/dataset.py:30-55); an unlabeled recording has no Base
+            # segment, so the closest available statistics are all-window —
+            # a distribution shift the caller should know about.
+            print(
+                "WARNING: model was trained with 'baseline' (Base-windows-"
+                "only) normalization statistics; at inference the recording "
+                "has no protocol labels, so all-window statistics are used "
+                "instead. Expect a shifted input distribution.",
+                flush=True,
+            )
+            scheme = "all"
         win = normalize_subject(win, y_dummy, list(self.cfg.channels_to_use), scheme)
         x = np.ascontiguousarray(win.transpose(0, 2, 1))  # [N, C, T]
         return x, starts / self.target_fs

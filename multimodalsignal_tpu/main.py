@@ -23,6 +23,7 @@ from multimodalsignal_tpu.config import (
     HierarchicalConfig,
     apply_overrides,
     config_from_dict,
+    load_config_file,
 )
 
 
@@ -40,7 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("--config", type=Path, default=None,
-                   help="JSON config file (ExperimentConfig / HierarchicalConfig)")
+                   help="JSON or YAML config file "
+                        "(ExperimentConfig / HierarchicalConfig)")
     p.add_argument("--hierarchical", action="store_true",
                    help="run the two-stage ternary experiment (reference main.py:20)")
     p.add_argument("--execution", choices=("serial", "sharded"), default=None,
@@ -57,7 +59,7 @@ def build_parser() -> argparse.ArgumentParser:
 def load_config(args) -> ExperimentConfig | HierarchicalConfig:
     cls = HierarchicalConfig if args.hierarchical else ExperimentConfig
     if args.config is not None:
-        cfg = config_from_dict(cls, json.loads(Path(args.config).read_text()))
+        cfg = config_from_dict(cls, load_config_file(args.config))
     else:
         cfg = cls()
     overrides = {}

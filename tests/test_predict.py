@@ -35,6 +35,7 @@ def trained_run(preprocessed, tmp_path_factory):  # noqa: F811
     return run_dir
 
 
+@pytest.mark.slow
 def test_predict_recording(trained_run, wesad_root):
     predictor = Predictor.from_run(trained_run, fold="S2")
     result = predictor.predict_recording(wesad_root / "S5" / "S5.pkl")
@@ -48,6 +49,7 @@ def test_predict_recording(trained_run, wesad_root):
     assert payload["windows"][0]["label"] in payload["class_names"]
 
 
+@pytest.mark.slow
 def test_predict_cli(trained_run, wesad_root, tmp_path):
     out = tmp_path / "preds.json"
     predict_main([
