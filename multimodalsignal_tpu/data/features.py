@@ -158,7 +158,17 @@ def eda_features(eda: np.ndarray, fs: float) -> dict[str, float]:
     eda = np.asarray(eda, dtype=np.float64)
     target_fs = min(16.0, fs)
     num = int(len(eda) * (target_fs / fs))
-    x = fourier_resample_np(eda, num)
+    # Detrend before the Fourier resample: EDA has strong tonic drift, and
+    # FFT-resampling a non-periodic window rings (Gibbs) off the wrap-around
+    # discontinuity — enough to fabricate SCR peaks above the amplitude gate
+    # (pinned by tests/test_features.py's linear-ramp golden test). The
+    # linear trend is removed, the residual resampled, and the trend
+    # re-evaluated on the new time base.
+    t0 = np.arange(len(eda), dtype=np.float64)
+    slope0, intercept0 = np.polyfit(t0, eda, 1)
+    resid = eda - (intercept0 + slope0 * t0)
+    t_new = np.arange(num, dtype=np.float64) * (len(eda) / max(num, 1))
+    x = fourier_resample_np(resid, num) + intercept0 + slope0 * t_new
     # Tonic = slow component (highpass-method decomposition at 0.05 Hz,
     # the same cutoff neurokit2's default eda_phasic uses).
     sos = _butter_sos(2, 0.05, None, "lowpass", target_fs)

@@ -77,3 +77,128 @@ def test_hrv_distinguishes_stress():
     stressed = extract_handcrafted_features({"chest_ECG": _ecg(95.0, jitter=0.002, seed=3)}, FS)
     assert np.isfinite(calm["HRV_SDNN"]) and np.isfinite(stressed["HRV_SDNN"])
     assert stressed["HRV_SDNN"] < calm["HRV_SDNN"]
+
+
+# ---------------------------------------------------------------------------
+# Analytic golden values (VERDICT: pin exact math, not just monotonicity)
+# ---------------------------------------------------------------------------
+
+def _ecg_from_peaks(peak_samples, n, fs=FS):
+    """Clean ECG with narrow gaussian R waves exactly at the given samples."""
+    t = np.arange(n)
+    ecg = np.zeros(n)
+    for p in peak_samples:
+        ecg += np.exp(-((t - p) ** 2) / (2 * 2.0**2))
+    return ecg
+
+
+def test_rmssd_sdnn_exact_on_constructed_rr():
+    """Place R peaks at exact samples -> RMSSD/SDNN must equal the closed-form
+    values of the constructed RR sequence."""
+    from multimodalsignal_tpu.data.features import hrv_features
+
+    intervals = np.tile([102, 109], 20)  # samples @128 Hz ~ 797/852 ms
+    peaks = 100 + np.concatenate([[0], np.cumsum(intervals)])
+    n = int(peaks[-1] + 200)
+    ecg = _ecg_from_peaks(peaks, n)
+
+    detected = detect_r_peaks(ecg, FS)
+    np.testing.assert_array_equal(detected, peaks)
+
+    rr_ms = np.diff(peaks) / FS * 1000.0
+    expected_rmssd = np.sqrt(np.mean(np.diff(rr_ms) ** 2))
+    expected_sdnn = np.std(rr_ms, ddof=1)
+
+    feats = hrv_features(ecg, FS)
+    assert feats["HRV_RMSSD"] == pytest.approx(expected_rmssd, rel=1e-9)
+    assert feats["HRV_SDNN"] == pytest.approx(expected_sdnn, rel=1e-9)
+
+
+@pytest.mark.parametrize("f_mod,band", [(0.1, "lf"), (0.3, "hf")])
+def test_rr_band_powers_sinusoidal_tachogram(f_mod, band):
+    """RR modulated at f_mod with amplitude A carries A^2/2 ms^2 of power in
+    exactly one band: 0.1 Hz -> LF (0.04-0.15), 0.3 Hz -> HF (0.15-0.4).
+    A band-edge or sign error in _rr_band_powers fails this."""
+    from multimodalsignal_tpu.data.features import _rr_band_powers
+
+    amp = 100.0  # ms
+    t, times = 0.0, []
+    while t < 300.0:  # 5 min of beats for spectral resolution
+        times.append(t)
+        rr_s = (800.0 + amp * np.sin(2 * np.pi * f_mod * t)) / 1000.0
+        t += rr_s
+    rpeaks = np.round(np.asarray(times) * FS).astype(np.int64)
+    rr_ms = np.diff(rpeaks) / FS * 1000.0
+    lf, hf = _rr_band_powers(rpeaks, rr_ms, FS)
+
+    # Linear interpolation of the tachogram (beat rate 1/0.8 s) attenuates
+    # the modulation amplitude by sinc^2(f_mod * RR) -> power by sinc^4;
+    # with that transfer function the Welch band power is analytic.
+    expected = amp**2 / 2.0 * np.sinc(f_mod * 0.8) ** 4
+    major, minor = (lf, hf) if band == "lf" else (hf, lf)
+    assert major == pytest.approx(expected, rel=0.1), (lf, hf)
+    assert minor < 0.05 * major, (lf, hf)
+
+
+def _sample_entropy_bruteforce(x, m=2, r_factor=0.2):
+    """Literal O(N^2) SampEn definition — an independent oracle."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    r = r_factor * np.std(x, ddof=0)
+
+    def count(mm):
+        total = 0
+        for i in range(n - mm + 1):
+            for j in range(i + 1, n - mm + 1):
+                if max(abs(x[i + k] - x[j + k]) for k in range(mm)) <= r:
+                    total += 1
+        return total
+
+    b, a = count(m), count(m + 1)
+    return -np.log(a / b)
+
+
+def test_sample_entropy_matches_bruteforce_oracle():
+    rng = np.random.default_rng(5)
+    for x in (rng.uniform(600, 1000, 60),
+              800 + 50 * np.sin(np.arange(60) * 0.7),
+              np.tile([700.0, 900.0, 800.0], 20)):
+        assert sample_entropy(x) == pytest.approx(
+            _sample_entropy_bruteforce(x), rel=1e-10
+        )
+
+
+def test_sample_entropy_degenerate_cases():
+    assert np.isnan(sample_entropy(np.full(50, 800.0)))  # r == 0
+    assert np.isnan(sample_entropy(np.array([1.0, 2.0])))  # too short
+
+
+def test_scr_count_exact_on_constructed_events():
+    """K well-separated SCR events on a flat tonic -> exactly K peaks."""
+    from multimodalsignal_tpu.data.features import eda_features
+
+    n = T
+    t = np.arange(n) / FS
+    eda = np.full(n, 2.0)
+    onsets_s = [5.0, 15.0, 25.0, 38.0, 50.0]
+    for onset in onsets_s:
+        rise = np.clip(t - onset, 0.0, None)
+        tau = 2.0
+        eda += 0.5 * (rise / tau) * np.exp(1 - rise / tau)
+    feats = eda_features(eda, FS)
+    assert feats["EDA_SCR_Peaks_N"] == len(onsets_s)
+
+
+def test_eda_tonic_slope_on_linear_ramp():
+    """Pure linear ramp, no events: slope per 16 Hz sample = a / 16; no SCRs
+    beyond noise floor."""
+    from multimodalsignal_tpu.data.features import eda_features
+
+    a = 0.01  # EDA units per second
+    t = np.arange(T) / FS
+    eda = 2.0 + a * t
+    feats = eda_features(eda, FS)
+    assert feats["EDA_Tonic_Slope"] == pytest.approx(a / 16.0, rel=0.05)
+    # No fabricated SCRs: the detrended resample kills the Gibbs ringing a
+    # plain FFT resample of this non-periodic ramp produces (23 fake peaks).
+    assert feats["EDA_SCR_Peaks_N"] == 0
