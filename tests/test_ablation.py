@@ -2,6 +2,8 @@
 
 import json
 
+import pytest
+
 from multimodalsignal_tpu.config import (
     EarlyStoppingConfig,
     ExperimentConfig,
@@ -34,6 +36,7 @@ def test_summary_ranking(tmp_path):
     assert data[0]["channels"] == ["chest_ECG"]
 
 
+@pytest.mark.slow
 def test_run_ablation_grid(preprocessed, tmp_path):  # noqa: F811
     base = ExperimentConfig(
         data_path=str(preprocessed / "chest_raw"),

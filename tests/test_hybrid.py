@@ -79,6 +79,7 @@ def test_hybrid_model_forward(rng):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
 def test_hybrid_training_end_to_end(hybrid_ds, tmp_path):
     """Trainer must handle pytree inputs (the reference's tuple batches)."""
     model = HybridCnnGruModel(num_classes=2, gru_hidden_size=8,
