@@ -163,6 +163,9 @@ def get_baseline(batch: int, channels: int, seq: int) -> float:
 
 
 def main() -> None:
+    from multimodalsignal_tpu.utils.run import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--channels", type=int, default=3)

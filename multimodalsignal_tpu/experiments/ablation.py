@@ -27,12 +27,19 @@ from multimodalsignal_tpu.config import (
 )
 
 # Named channel subsets mirroring the reference's documented ablations
-# (README.md:84-85: single channels vs the 3-channel fusion default).
+# (README.md:84-85: single channels vs fusion). "fusion6" is the README's
+# documented multimodal set (chest ECG/EDA/EMG/Resp + wrist BVP/EDA) — the
+# config where ChannelAttention is genuinely active (C >= reduction_ratio;
+# at C=3 the gate degenerates to the constant 0.5 quirk, models.py:12-21).
+# Wrist subsets need preprocessing with --include-wrist.
 DEFAULT_CHANNEL_SUBSETS: dict[str, tuple[str, ...]] = {
+    "fusion6": ("chest_ECG", "chest_EDA", "chest_EMG", "chest_Resp",
+                "wrist_BVP", "wrist_EDA"),
     "fusion3": ("chest_ECG", "chest_EDA", "chest_Resp"),
     "ecg": ("chest_ECG",),
     "eda": ("chest_EDA",),
     "resp": ("chest_Resp",),
+    "wrist2": ("wrist_BVP", "wrist_EDA"),
 }
 DEFAULT_MODELS = ("cnn_gru_attention", "cnn_gru")
 
@@ -143,6 +150,9 @@ def _write_summary(run_dir: Path, points: list[AblationPoint]) -> None:
 
 
 def main(argv=None) -> None:
+    from multimodalsignal_tpu.utils.run import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", type=Path, default=None,
                    help="JSON for the base ExperimentConfig")

@@ -80,6 +80,9 @@ def make_run_dir(cfg, output_dir: Path | None) -> Path:
 
 
 def main(argv=None) -> None:
+    from multimodalsignal_tpu.utils.run import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     cfg = load_config(args)
     run_dir = make_run_dir(cfg, args.output_dir)

@@ -6,8 +6,33 @@ and trainer.py:113-117 (messages teed to stdout and a log file).
 
 from __future__ import annotations
 
+import os
 import time
 from pathlib import Path
+
+
+def enable_compilation_cache(cache_dir: Path | str | None = None) -> None:
+    """Turn on JAX's persistent XLA compilation cache.
+
+    The first compile of the all-folds epoch program over a tunneled remote
+    TPU runtime is ~10 minutes (benchmarks/RESULTS.md); with the persistent
+    cache, later PROCESSES (ablation grid points, resumed runs, bench reruns)
+    reload the serialized executable in seconds instead of recompiling.
+    Called by every CLI entry point; honors an explicit
+    JAX_COMPILATION_CACHE_DIR.
+    """
+    import jax
+
+    path = str(
+        cache_dir
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or Path.home() / ".cache" / "multimodalsignal_tpu" / "xla_cache"
+    )
+    Path(path).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # Default thresholds skip small-but-slow-to-compile entries; cache all.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def make_run_dir(output_root: Path | str, run_name: str) -> Path:

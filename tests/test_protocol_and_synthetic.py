@@ -45,3 +45,54 @@ def test_signals_are_condition_separable(wesad_root):
     base = chest["EDA"][: 3 * 60 * fs].mean()
     tsst = chest["EDA"][3 * 60 * fs : 5 * 60 * fs].mean()
     assert tsst > base
+
+
+# --- calibrated-hard generator (benchmarks/BENCHMARK.md corpus) -----------
+
+HARD_TASKS = (("Base", 1.0), ("TSST", 0.5), ("Fun", 0.5))
+
+
+def test_hard_generator_layout_and_determinism():
+    from multimodalsignal_tpu.data.synthetic import synthesize_subject_hard
+
+    d1, q1 = synthesize_subject_hard("S2", tasks=HARD_TASKS, seed=5)
+    d2, q2 = synthesize_subject_hard("S2", tasks=HARD_TASKS, seed=5)
+    n = int(2.0 * 60 * 700)
+    chest = d1[b"signal"][b"chest"]
+    assert chest[b"ACC"].shape == (n, 3)
+    for key in (b"ECG", b"EDA", b"EMG", b"Resp", b"Temp"):
+        assert chest[key].shape == (n, 1)
+    # EDA must stay log1p-safe even through artifacts/dropout.
+    assert (chest[b"EDA"] > 0).all()
+    wrist = d1[b"signal"][b"wrist"]
+    assert wrist[b"BVP"].shape == (2 * 60 * 64, 1)
+    assert wrist[b"EDA"].shape == (2 * 60 * 4, 1)
+    assert wrist[b"ACC"].shape == (2 * 60 * 32, 3)
+    assert (wrist[b"EDA"] > 0).all()
+    # Deterministic per (subject, seed).
+    np.testing.assert_array_equal(chest[b"ECG"], d2[b"signal"][b"chest"][b"ECG"])
+    assert q1 == q2
+    assert q1.startswith("# ORDER;Base;TSST;Fun\n")
+    # Different seeds give different subjects (responder profiles et al).
+    d3, _ = synthesize_subject_hard("S2", tasks=HARD_TASKS, seed=6)
+    assert not np.array_equal(chest[b"ECG"], d3[b"signal"][b"chest"][b"ECG"])
+
+
+def test_hard_corpus_preprocessable(tmp_path):
+    """End-to-end loadability: hard pickles flow through the real
+    preprocessing (wrist included) and yield both stress and non-stress
+    windows."""
+    from multimodalsignal_tpu.config import PreprocessConfig
+    from multimodalsignal_tpu.data.preprocess import preprocess_subject
+    from multimodalsignal_tpu.data.synthetic import Hardness
+
+    root = write_synthetic_wesad(
+        tmp_path / "WESAD", ["S2"], tasks=(("Base", 2.0), ("TSST", 1.5)),
+        seed=11, hardness=Hardness(),
+    )
+    cfg = PreprocessConfig(wesad_root=str(root), targets=("raw",),
+                           include_wrist=True, subjects=("S2",))
+    X, y = preprocess_subject("S2", cfg)["raw"]
+    assert X.shape[1] == 60 * 128 and X.shape[2] == 14  # 8 chest + 6 wrist
+    assert set(np.unique(y)) == {1, 2}
+    assert np.isfinite(X).all()
