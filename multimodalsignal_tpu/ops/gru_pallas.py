@@ -29,6 +29,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.custom_batching import custom_vmap
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -309,22 +310,285 @@ def _gru_backward(x_gates_tm, w_hh, b_hh, h0, ys, dy, reverse: bool):
 
 
 # ---------------------------------------------------------------------------
+# Fold-batched kernels
+#
+# vmapping a pallas_call (the sharded LOSO sweep vmaps the whole train step
+# over a `fold` axis, parallel/fold_sweep.py) batches it by PREPENDING A GRID
+# DIMENSION — on a TPU core grid steps run sequentially, so 15 folds pay 15x
+# the recurrence's latency-bound wall time. These kernels instead carry the
+# fold axis as a leading BATCH dimension inside one grid walk: every time
+# step issues one fold-batched [F,B,H]x[F,H,3H] MXU matmul, so all folds'
+# recurrences advance in parallel and the sweep's per-step cost approaches a
+# single fold's. jax.custom_batching.custom_vmap routes vmap onto them.
+# ---------------------------------------------------------------------------
+
+def _fb_t_blk(per_step_bytes: int, t_total: int) -> int:
+    """Time-chunk for fold-batched kernels: the fold axis multiplies the
+    per-step working set, so chunks go as low as one step (time is a plain
+    leading dim; only the trailing [B-ish, lane] dims need tile alignment)."""
+    blk = max(_VMEM_BUDGET_BYTES // max(per_step_bytes, 1), 1)
+    return min(blk, T_BLK, t_total)
+
+
+def _fb_fwd_kernel(xg_ref, whh_t_ref, bhh_ref, h0_ref, out_ref, h_scratch,
+                   *, t_total: int, t_blk: int, reverse: bool):
+    """Fold-batched forward chunk.
+
+    xg_ref  [F, T_BLK, B, 3H]   whh_t [F, H, 3H]   bhh [F, B, 3H]
+    (bias pre-broadcast over B outside the kernel: Mosaic rejects an
+    in-kernel size-1 sublane broadcast on 3D operands)
+    h0      [F, B, H]           out   [F, T_BLK, B, H]
+    h_scratch [F, B, H] carry across sequential grid steps.
+    """
+    i = pl.program_id(0)
+    n_chunks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        h_scratch[:] = h0_ref[:]
+
+    chunk = (n_chunks - 1 - i) if reverse else i
+    base = chunk * t_blk
+
+    def one_step(t, h):
+        valid = (base + t) < t_total
+        xg = xg_ref[:, t]  # [F, B, 3H]
+        hg = jax.lax.dot_general(
+            h, whh_t_ref[:], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) + bhh_ref[:]
+        xr, xz, xn = jnp.split(xg, 3, axis=-1)
+        hr, hz, hn = jnp.split(hg, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        h_new = jnp.where(valid, h_new, h)
+        out_ref[:, t] = h_new
+        return h_new
+
+    # t_blk is tiny (the fold axis multiplies the VMEM working set), so the
+    # chunk loop is fully unrolled with STATIC time indices — Mosaic does not
+    # support dynamic indexing on the middle dim of a 4D ref.
+    h = h_scratch[:]
+    for k in range(t_blk):
+        t = (t_blk - 1 - k) if reverse else k
+        h = one_step(t, h)
+    h_scratch[:] = h
+
+
+def _gru_forward_fb(xg_fb, w_hh, b_hh, h0, reverse: bool):
+    """xg_fb [F, T, B, 3H], w_hh [F, 3H, H], b_hh [F, 3H], h0 [F, B, H]
+    -> ys [F, T, B, H]."""
+    f, t_total, batch, three_h = xg_fb.shape
+    hidden = three_h // 3
+    t_blk = _fb_t_blk(f * batch * (three_h + hidden) * 4, t_total)
+    n_chunks = pl.cdiv(t_total, t_blk)
+    whh_t = jnp.swapaxes(w_hh, 1, 2)  # [F, H, 3H]
+    bhh = jnp.broadcast_to(b_hh[:, None, :], (f, batch, three_h))
+
+    def cmap(i):
+        return (0, (n_chunks - 1 - i) if reverse else i, 0, 0)
+
+    def rep3(i):
+        return (0, 0, 0)
+
+    return pl.pallas_call(
+        partial(_fb_fwd_kernel, t_total=t_total, t_blk=t_blk, reverse=reverse),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((f, t_blk, batch, three_h), cmap,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, hidden, three_h), rep3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, batch, three_h), rep3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, batch, hidden), rep3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((f, t_blk, batch, hidden), cmap,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((f, t_total, batch, hidden), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((f, batch, hidden), jnp.float32)],
+        interpret=_interpret(),
+    )(xg_fb, whh_t, bhh, h0)
+
+
+def _fb_bwd_kernel(dy_ref, hprev_ref, xg_ref, whh_t_ref, bhh_ref,
+                   dxg_ref, dwhh_t_ref, dbhh_ref, dh0_ref,
+                   dh_scratch, dw_scratch, db_scratch,
+                   *, t_total: int, t_blk: int, reverse: bool):
+    """Fold-batched adjoint chunk (same math as _bwd_kernel, F-leading)."""
+    i = pl.program_id(0)
+    n_chunks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        dh_scratch[:] = jnp.zeros_like(dh_scratch)
+        dw_scratch[:] = jnp.zeros_like(dw_scratch)
+        db_scratch[:] = jnp.zeros_like(db_scratch)
+
+    chunk = i if reverse else (n_chunks - 1 - i)
+    base = chunk * t_blk
+
+    def one_step(t, dh):
+        valid = (base + t) < t_total
+        h_prev = jnp.where(valid, hprev_ref[:, t], 0.0)  # [F, B, H]
+        xg = xg_ref[:, t]
+        hg = jax.lax.dot_general(
+            h_prev, whh_t_ref[:], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) + bhh_ref[:]
+        xr, xz, xn = jnp.split(xg, 3, axis=-1)
+        hr, hz, hn = jnp.split(hg, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+
+        dht = dh + dy_ref[:, t]
+        dz = dht * (h_prev - n)
+        dn = dht * (1.0 - z)
+        dn_pre = dn * (1.0 - n * n)
+        dr = dn_pre * hn
+        dr_pre = dr * r * (1.0 - r)
+        dz_pre = dz * z * (1.0 - z)
+        dhn = dn_pre * r
+        dgates_h = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)  # [F,B,3H]
+        dgates_x = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
+
+        zero = jnp.zeros_like(dgates_x)
+        dxg_ref[:, t] = jnp.where(valid, dgates_x, zero)
+        dgates_h = jnp.where(valid, dgates_h, zero)
+
+        dw_scratch[:] += jax.lax.dot_general(
+            h_prev, dgates_h, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [F, H, 3H]
+        db_scratch[:] += jnp.sum(dgates_h, axis=1)
+        dh_prev = dht * z + jax.lax.dot_general(
+            dgates_h, whh_t_ref[:], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [F, B, H]
+        return jnp.where(valid, dh_prev, dh)
+
+    dh = dh_scratch[:]
+    for k in range(t_blk):  # static unroll (see _fb_fwd_kernel)
+        t = k if reverse else (t_blk - 1 - k)
+        dh = one_step(t, dh)
+    dh_scratch[:] = dh
+    dwhh_t_ref[:] = dw_scratch[:]
+    dbhh_ref[:] = db_scratch[:]
+    dh0_ref[:] = dh_scratch[:]
+
+
+def _gru_backward_fb(xg_fb, w_hh, b_hh, h0, ys, dy, reverse: bool):
+    f, t_total, batch, three_h = xg_fb.shape
+    hidden = three_h // 3
+    t_blk = _fb_t_blk(f * batch * (2 * hidden + 2 * three_h) * 4, t_total)
+    n_chunks = pl.cdiv(t_total, t_blk)
+    whh_t = jnp.swapaxes(w_hh, 1, 2)
+    bhh = jnp.broadcast_to(b_hh[:, None, :], (f, batch, three_h))
+
+    if reverse:
+        h_prev = jnp.concatenate([ys[:, 1:], h0[:, None]], axis=1)
+    else:
+        h_prev = jnp.concatenate([h0[:, None], ys[:, :-1]], axis=1)
+
+    def adj(i):
+        return (0, i if reverse else (n_chunks - 1 - i), 0, 0)
+
+    def rep3(i):
+        return (0, 0, 0)
+
+    dxg, dwhh_t, dbhh, dh0 = pl.pallas_call(
+        partial(_fb_bwd_kernel, t_total=t_total, t_blk=t_blk, reverse=reverse),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((f, t_blk, batch, hidden), adj, memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, t_blk, batch, hidden), adj, memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, t_blk, batch, three_h), adj, memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, hidden, three_h), rep3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, batch, three_h), rep3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((f, t_blk, batch, three_h), adj, memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, hidden, three_h), rep3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, three_h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, batch, hidden), rep3, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((f, t_total, batch, three_h), jnp.float32),
+            jax.ShapeDtypeStruct((f, hidden, three_h), jnp.float32),
+            jax.ShapeDtypeStruct((f, three_h), jnp.float32),
+            jax.ShapeDtypeStruct((f, batch, hidden), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((f, batch, hidden), jnp.float32),
+            pltpu.VMEM((f, hidden, three_h), jnp.float32),
+            pltpu.VMEM((f, three_h), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(dy, h_prev, xg_fb, whh_t, bhh)
+    return dxg, jnp.swapaxes(dwhh_t, 1, 2), dbhh, dh0
+
+
+def _broadcast_unbatched(args, in_batched, axis_size):
+    return tuple(
+        a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+        for a, b in zip(args, in_batched)
+    )
+
+
+def _make_fwd_cv(reverse: bool):
+    @custom_vmap
+    def fwd(x_gates_tm, w_hh, b_hh, h0):
+        return _gru_forward(x_gates_tm, w_hh, b_hh, h0, reverse)
+
+    @fwd.def_vmap
+    def _rule(axis_size, in_batched, xg, w_hh, b_hh, h0):  # noqa: F811
+        xg, w_hh, b_hh, h0 = _broadcast_unbatched(
+            (xg, w_hh, b_hh, h0), in_batched, axis_size
+        )
+        return _gru_forward_fb(xg, w_hh, b_hh, h0, reverse), True
+
+    return fwd
+
+
+def _make_bwd_cv(reverse: bool):
+    @custom_vmap
+    def bwd(x_gates_tm, w_hh, b_hh, h0, ys, dy):
+        return _gru_backward(x_gates_tm, w_hh, b_hh, h0, ys, dy, reverse)
+
+    @bwd.def_vmap
+    def _rule(axis_size, in_batched, xg, w_hh, b_hh, h0, ys, dy):  # noqa: F811
+        xg, w_hh, b_hh, h0, ys, dy = _broadcast_unbatched(
+            (xg, w_hh, b_hh, h0, ys, dy), in_batched, axis_size
+        )
+        return (_gru_backward_fb(xg, w_hh, b_hh, h0, ys, dy, reverse),
+                (True, True, True, True))
+
+    return bwd
+
+
+_FWD_CV = {False: _make_fwd_cv(False), True: _make_fwd_cv(True)}
+_BWD_CV = {False: _make_bwd_cv(False), True: _make_bwd_cv(True)}
+
+
+# ---------------------------------------------------------------------------
 # custom_vjp wrapper (time-major core)
 # ---------------------------------------------------------------------------
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _gru_tm(reverse: bool, x_gates_tm, w_hh, b_hh, h0):
-    return _gru_forward(x_gates_tm, w_hh, b_hh, h0, reverse)
+    return _FWD_CV[reverse](x_gates_tm, w_hh, b_hh, h0)
 
 
 def _gru_tm_fwd(reverse, x_gates_tm, w_hh, b_hh, h0):
-    ys = _gru_forward(x_gates_tm, w_hh, b_hh, h0, reverse)
+    ys = _FWD_CV[reverse](x_gates_tm, w_hh, b_hh, h0)
     return ys, (x_gates_tm, w_hh, b_hh, h0, ys)
 
 
 def _gru_tm_bwd(reverse, res, dy):
     x_gates_tm, w_hh, b_hh, h0, ys = res
-    return _gru_backward(x_gates_tm, w_hh, b_hh, h0, ys, dy, reverse)
+    return _BWD_CV[reverse](x_gates_tm, w_hh, b_hh, h0, ys, dy)
 
 
 _gru_tm.defvjp(_gru_tm_fwd, _gru_tm_bwd)

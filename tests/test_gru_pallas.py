@@ -159,3 +159,56 @@ def test_fused_bidirectional_parity(rng):
         np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
                                    rtol=2e-4, atol=2e-4,
                                    err_msg=f"grad mismatch: {name}")
+
+
+# --- fold-batched kernels (custom_vmap interception) -----------------------
+
+def _fb_setup(rng, f=3, b=4, t=None, h=8):
+    t = t if t is not None else 2 * T_BLK + 7
+    xg = jnp.asarray(rng.standard_normal((f, b, t, 3 * h)), jnp.float32)
+    whh = jnp.asarray(rng.standard_normal((f, 3 * h, h)) * 0.3, jnp.float32)
+    bhh = jnp.asarray(rng.standard_normal((f, 3 * h)) * 0.1, jnp.float32)
+    h0 = jnp.asarray(rng.standard_normal((f, b, h)) * 0.5, jnp.float32)
+    return xg, whh, bhh, h0
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_fold_batched_bitwise_vs_unbatched(rng, reverse):
+    """vmap over folds routes into the fold-batched kernels (custom_vmap);
+    forward AND custom-VJP gradients must be bit-identical to running the
+    unbatched kernel per fold."""
+    xg, whh, bhh, h0 = _fb_setup(rng)
+    f = xg.shape[0]
+
+    def run(a, w, c, d):
+        return gru_sequence_pallas(a, w, c, d, reverse=reverse)
+
+    got = jax.jit(jax.vmap(run))(xg, whh, bhh, h0)
+    want = np.stack([np.asarray(run(xg[i], whh[i], bhh[i], h0[i]))
+                     for i in range(f)])
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+    def loss(a, w, c, d):
+        return jnp.sum(run(a, w, c, d) ** 2)
+
+    g_fb = jax.jit(jax.vmap(jax.grad(loss, argnums=(0, 1, 2, 3))))(
+        xg, whh, bhh, h0
+    )
+    g_single = [jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(
+        xg[i], whh[i], bhh[i], h0[i]) for i in range(f)]
+    for j in range(4):
+        want_j = np.stack([np.asarray(g_single[i][j]) for i in range(f)])
+        np.testing.assert_array_equal(np.asarray(g_fb[j]), want_j)
+
+
+def test_fold_batched_partial_batching(rng):
+    """Shared (unbatched) weights under vmap broadcast into the fold axis."""
+    xg, whh, bhh, h0 = _fb_setup(rng)
+    w0, b0 = whh[0], bhh[0]
+
+    got = jax.jit(jax.vmap(
+        lambda a, d: gru_sequence_pallas(a, w0, b0, d), in_axes=(0, 0)
+    ))(xg, h0)
+    want = jax.vmap(lambda a, d: gru_sequence(a, w0, b0, d))(xg, h0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
