@@ -25,6 +25,7 @@ code path is testable on the CPU mesh (SURVEY.md §4).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -537,6 +538,94 @@ def _broadcast_unbatched(args, in_batched, axis_size):
     )
 
 
+# --- fold grouping: G folds share one block-diagonal MXU matmul -------------
+#
+# The fold-batched dot_general still issues F small [B,H]x[H,3H] matmuls per
+# time step (the MXU executes batch dims sequentially), so per-step cost
+# scales with F. Packing G folds into one matmul fixes that: hidden states
+# concatenate along features ([B, G*H], fold-major columns) and the recurrent
+# weights become a block-diagonal [G*H, 3*G*H] with GATE-MAJOR output columns
+# ([r: fold0..foldG-1 | z: ... | n: ...]) — so the kernels' jnp.split-by-gate
+# math works unchanged on the grouped arrays and the zero off-diagonal blocks
+# kill all cross-fold terms exactly. The G-fold FLOP overhead is free (the
+# recurrence is latency-bound, not FLOP-bound).
+
+_GROUP = 4
+
+
+def _pick_group(f: int) -> int:
+    # MMS_GRU_FOLD_GROUP=1 disables grouping (A/B benching); >1 overrides
+    # the preferred group size.
+    top = int(os.environ.get("MMS_GRU_FOLD_GROUP", _GROUP))
+    if top <= 1:
+        return 1
+    for g in (top, 4, 3, 2):
+        if g <= top and f % g == 0:
+            return g
+    return 1
+
+
+def _group_cols(x, fg: int, g: int):
+    """[F, *lead, 3H] -> [Fg, *lead, 3*G*H] with gate-major columns."""
+    lead = x.shape[1:-1]
+    h = x.shape[-1] // 3
+    n = len(lead)
+    y = x.reshape((fg, g) + lead + (3, h))
+    perm = (0,) + tuple(range(2, 2 + n)) + (2 + n, 1, 3 + n)
+    return y.transpose(perm).reshape((fg,) + lead + (3 * g * h,))
+
+
+def _ungroup_cols(y, fg: int, g: int):
+    """Inverse of _group_cols."""
+    lead = y.shape[1:-1]
+    h = y.shape[-1] // (3 * g)
+    n = len(lead)
+    z = y.reshape((fg,) + lead + (3, g, h))
+    perm = (0, 2 + n) + tuple(range(1, 1 + n)) + (1 + n, 3 + n)
+    return z.transpose(perm).reshape((fg * g,) + lead + (3 * h,))
+
+
+def _group_h(x, fg: int, g: int):
+    """[F, *lead, H] -> [Fg, *lead, G*H] (fold-major columns)."""
+    lead = x.shape[1:-1]
+    h = x.shape[-1]
+    n = len(lead)
+    y = x.reshape((fg, g) + lead + (h,))
+    perm = (0,) + tuple(range(2, 2 + n)) + (1, 2 + n)
+    return y.transpose(perm).reshape((fg,) + lead + (g * h,))
+
+
+def _ungroup_h(y, fg: int, g: int):
+    """Inverse of _group_h."""
+    lead = y.shape[1:-1]
+    h = y.shape[-1] // g
+    n = len(lead)
+    z = y.reshape((fg,) + lead + (g, h))
+    perm = (0, 1 + n) + tuple(range(1, 1 + n)) + (2 + n,)
+    return z.transpose(perm).reshape((fg * g,) + lead + (h,))
+
+
+def _blockdiag_w(w_hh, fg: int, g: int):
+    """Per-fold [F, 3H, H] recurrent weights -> grouped block-diagonal
+    [Fg, 3*G*H, G*H] in the w_hh layout the fb wrapper transposes."""
+    f, three_h, h = w_hh.shape
+    w = w_hh.reshape(fg, g, 3, h, h)  # [Fg, G, gate, H_out, H_in]
+    eye = jnp.eye(g, dtype=w_hh.dtype)
+    # rows (gate, G, H_out) gate-major; cols (G', H_in) fold-major; diag G=G'.
+    wbd = jnp.einsum("fgtoi,gk->ftgoki", w, eye)
+    return wbd.reshape(fg, 3 * g * h, g * h)
+
+
+def _diag_dw(dwbd, fg: int, g: int):
+    """Extract the diagonal fold blocks of the grouped dW: [Fg, 3GH, GH]
+    (w_hh layout) -> per-fold [F, 3H, H]."""
+    h = dwbd.shape[-1] // g
+    z = dwbd.reshape(fg, 3, g, h, g, h)
+    idx = jnp.arange(g)
+    d = z[:, :, idx, :, idx, :]  # [G, Fg, 3, H_out, H_in]
+    return jnp.transpose(d, (1, 0, 2, 3, 4)).reshape(fg * g, 3 * h, h)
+
+
 def _make_fwd_cv(reverse: bool):
     @custom_vmap
     def fwd(x_gates_tm, w_hh, b_hh, h0):
@@ -547,7 +636,15 @@ def _make_fwd_cv(reverse: bool):
         xg, w_hh, b_hh, h0 = _broadcast_unbatched(
             (xg, w_hh, b_hh, h0), in_batched, axis_size
         )
-        return _gru_forward_fb(xg, w_hh, b_hh, h0, reverse), True
+        g = _pick_group(axis_size)
+        if g == 1:
+            return _gru_forward_fb(xg, w_hh, b_hh, h0, reverse), True
+        fg = axis_size // g
+        ys_g = _gru_forward_fb(
+            _group_cols(xg, fg, g), _blockdiag_w(w_hh, fg, g),
+            _group_cols(b_hh, fg, g), _group_h(h0, fg, g), reverse,
+        )
+        return _ungroup_h(ys_g, fg, g), True
 
     return fwd
 
@@ -562,7 +659,18 @@ def _make_bwd_cv(reverse: bool):
         xg, w_hh, b_hh, h0, ys, dy = _broadcast_unbatched(
             (xg, w_hh, b_hh, h0, ys, dy), in_batched, axis_size
         )
-        return (_gru_backward_fb(xg, w_hh, b_hh, h0, ys, dy, reverse),
+        g = _pick_group(axis_size)
+        if g == 1:
+            return (_gru_backward_fb(xg, w_hh, b_hh, h0, ys, dy, reverse),
+                    (True, True, True, True))
+        fg = axis_size // g
+        dxg_g, dwbd, dbhh_g, dh0_g = _gru_backward_fb(
+            _group_cols(xg, fg, g), _blockdiag_w(w_hh, fg, g),
+            _group_cols(b_hh, fg, g), _group_h(h0, fg, g),
+            _group_h(ys, fg, g), _group_h(dy, fg, g), reverse,
+        )
+        return ((_ungroup_cols(dxg_g, fg, g), _diag_dw(dwbd, fg, g),
+                 _ungroup_cols(dbhh_g, fg, g), _ungroup_h(dh0_g, fg, g)),
                 (True, True, True, True))
 
     return bwd

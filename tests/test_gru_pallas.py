@@ -172,21 +172,38 @@ def _fb_setup(rng, f=3, b=4, t=None, h=8):
     return xg, whh, bhh, h0
 
 
-@pytest.mark.parametrize("reverse", [False, True])
-def test_fold_batched_bitwise_vs_unbatched(rng, reverse):
+@pytest.mark.parametrize("f,reverse", [
+    (5, True),                       # no divisor <= 4: ungrouped G=1 path
+    (4, False),                      # grouped, one G=4 block
+    (8, True),                       # grouped, TWO G=4 blocks + reverse
+    pytest.param(3, True, marks=pytest.mark.slow),   # G=3 divisor path
+    pytest.param(5, False, marks=pytest.mark.slow),
+    pytest.param(4, True, marks=pytest.mark.slow),
+])
+def test_fold_batched_vs_unbatched(rng, f, reverse):
     """vmap over folds routes into the fold-batched kernels (custom_vmap);
-    forward AND custom-VJP gradients must be bit-identical to running the
-    unbatched kernel per fold."""
-    xg, whh, bhh, h0 = _fb_setup(rng)
-    f = xg.shape[0]
+    forward AND custom-VJP gradients must match the unbatched kernel per
+    fold. F=5 (no divisor <= 4) takes the ungrouped path and is BIT-exact;
+    grouped sizes add zero-block lanes to the MXU contraction, so parity is
+    to f32 round-off."""
+    xg, whh, bhh, h0 = _fb_setup(rng, f=f, t=T_BLK + 5)
+    from multimodalsignal_tpu.ops.gru_pallas import _pick_group
+    exact = _pick_group(f) == 1
 
     def run(a, w, c, d):
         return gru_sequence_pallas(a, w, c, d, reverse=reverse)
 
+    def check(got, want):
+        if exact:
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        else:
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-4, atol=1e-5)
+
     got = jax.jit(jax.vmap(run))(xg, whh, bhh, h0)
     want = np.stack([np.asarray(run(xg[i], whh[i], bhh[i], h0[i]))
                      for i in range(f)])
-    np.testing.assert_array_equal(np.asarray(got), want)
+    check(got, want)
 
     def loss(a, w, c, d):
         return jnp.sum(run(a, w, c, d) ** 2)
@@ -198,7 +215,7 @@ def test_fold_batched_bitwise_vs_unbatched(rng, reverse):
         xg[i], whh[i], bhh[i], h0[i]) for i in range(f)]
     for j in range(4):
         want_j = np.stack([np.asarray(g_single[i][j]) for i in range(f)])
-        np.testing.assert_array_equal(np.asarray(g_fb[j]), want_j)
+        check(g_fb[j], want_j)
 
 
 def test_fold_batched_partial_batching(rng):
