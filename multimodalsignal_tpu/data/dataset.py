@@ -340,6 +340,52 @@ class PackedCorpus:
         )
 
 
+def _pack_subject_fused(data_path, sid, channel_indices, channels_to_use,
+                        classification_mode, normalization):
+    """Native fast path for pack_corpus: mmap the subject's X and run the
+    C++ fused select+normalize+transpose (native.pack_subject_f32) — two
+    streaming passes instead of ~5 NumPy array copies. Returns
+    (sid, x [keep, C, T] float32, y [keep]) or None when the engine is
+    unavailable / the scheme is not a plain z-score (NumPy path remains
+    the behavioral oracle, equality covered by tests/test_native.py)."""
+    if normalization not in ("all", "baseline"):
+        return None
+    try:
+        from multimodalsignal_tpu import native
+
+        if not native.available():
+            return None
+        data_path = Path(data_path)
+        x_file = data_path / f"{sid}_X.npy"
+        y_file = data_path / f"{sid}_y.npy"
+        if not x_file.exists() or not y_file.exists():
+            print(f"Warning: Skipping subject {sid} for data, file not found.")
+            return None
+        x_raw = np.load(x_file, mmap_mode="r")
+        if x_raw.dtype != np.float32 or x_raw.ndim != 3:
+            return None
+        y_raw = np.load(y_file)
+        y, keep = map_labels(y_raw, classification_mode)
+        if normalization == "baseline" and (y_raw == 1).any():
+            stat_rows = y_raw == 1
+        else:
+            if normalization == "baseline":
+                print("Warning: no baseline windows; "
+                      "falling back to all-data stats.")
+            stat_rows = np.ones(len(y_raw), bool)
+        log1p_mask = np.asarray(
+            [name == EDA_CHANNEL for name in channels_to_use], np.uint8
+        )
+        x_packed = native.pack_subject_f32(
+            x_raw, np.asarray(channel_indices), log1p_mask, stat_rows, keep
+        )
+        return sid, x_packed, y[keep]
+    except Exception as exc:  # pragma: no cover - defensive fallback
+        print(f"Warning: native fused pack failed for {sid} ({exc}); "
+              "using the NumPy path.")
+        return None
+
+
 def pack_corpus(
     data_path: Path | str,
     subjects: list[str],
@@ -356,6 +402,13 @@ def pack_corpus(
     channel_indices = [all_channel_names.index(ch) for ch in channels_to_use]
     per_subject = []
     for sid in subjects:
+        fused = _pack_subject_fused(
+            data_path, sid, channel_indices, channels_to_use,
+            classification_mode, normalization,
+        )
+        if fused is not None:
+            per_subject.append(fused)
+            continue
         item = load_subject_windows(data_path, sid)
         if item is None:
             continue

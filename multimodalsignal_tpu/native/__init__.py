@@ -58,6 +58,9 @@ def _load() -> ctypes.CDLL | None:
     lib.normalize_windows_f32.restype = None
     lib.channel_stats_f32.argtypes = [f32p, i64, i64, i64, u8p, f64p, f64p]
     lib.channel_stats_f32.restype = None
+    lib.pack_subject_f32.argtypes = [f32p, i64, i64, i64, i64p, i64, u8p,
+                                     u8p, u8p, ctypes.c_double, f32p]
+    lib.pack_subject_f32.restype = None
     _LIB = lib
     return _LIB
 
@@ -86,6 +89,37 @@ def sliding_windows_f32(signal: np.ndarray, starts: np.ndarray,
     out = np.empty((len(starts), window, channels), dtype=np.float32)
     lib.sliding_windows_f32(signal, t_total, channels, starts,
                             len(starts), window, out)
+    return out
+
+
+def pack_subject_f32(x: np.ndarray, chan_idx: np.ndarray,
+                     log1p_mask: np.ndarray, stat_rows: np.ndarray,
+                     keep_rows: np.ndarray, eps: float = 1e-8) -> np.ndarray:
+    """Fused channel-select + per-channel z-score + transpose:
+    [W, T, C_all] float32 (mmap-friendly) -> [keep, C_sel, T] normalized.
+
+    stat_rows picks the windows whose per-channel mean/std define the
+    z-score (all-windows or Base-only, reference dataset.py:37-48 /
+    void/dataset.py:30-55); keep_rows picks the emitted windows. Two
+    streaming passes in C++ instead of the NumPy pipeline's ~5 array copies.
+    """
+    lib = _load()
+    assert lib is not None, "native engine unavailable"
+    assert x.dtype == np.float32 and x.flags["C_CONTIGUOUS"]
+    w_total, t_len, c_all = x.shape
+    stat = np.ascontiguousarray(stat_rows, dtype=np.uint8)
+    keep = np.ascontiguousarray(keep_rows, dtype=np.uint8)
+    idx = np.ascontiguousarray(chan_idx, dtype=np.int64)
+    assert stat.shape == keep.shape == (w_total,)
+    assert stat.any(), "stat_rows must select at least one window"
+    if len(idx) and (idx.min() < 0 or idx.max() >= c_all):
+        raise IndexError(f"channel index out of range for C_all={c_all}")
+    out = np.empty((int(keep.sum()), len(idx), t_len), dtype=np.float32)
+    lib.pack_subject_f32(
+        x, w_total, t_len, c_all, idx, len(idx),
+        np.ascontiguousarray(log1p_mask, dtype=np.uint8), stat, keep,
+        float(eps), out,
+    )
     return out
 
 

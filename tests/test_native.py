@@ -88,3 +88,63 @@ def test_normalize_subject_native_production_path(rng):
     got = normalize_subject(x, y_nobase, names, "baseline")
     want = normalize_subject(x, y_nobase, names, "baseline", use_native=False)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_pack_subject_fused_matches_pipeline(rng, tmp_path):
+    """The fused C++ pack (mmap + select + z-score + transpose) must agree
+    with the NumPy pipeline (select -> normalize_subject -> keep -> transpose)
+    to float32 precision, for both normalization schemes and a keep-filtering
+    classification mode."""
+    from multimodalsignal_tpu.data.dataset import (
+        _pack_subject_fused,
+        map_labels,
+        normalize_subject,
+    )
+
+    w, t, c_all = 12, 64, 5
+    names_all = ["chest_ACC_x", "chest_ECG", "chest_EDA", "chest_Resp",
+                 "chest_Temp"]
+    chans = ["chest_ECG", "chest_EDA", "chest_Resp"]
+    idx = [names_all.index(c) for c in chans]
+    x = (rng.standard_normal((w, t, c_all)) ** 2).astype(np.float32)
+    y_raw = rng.integers(1, 5, size=w).astype(np.int64)
+    y_raw[:3] = 1  # guarantee Base windows for the baseline scheme
+    np.save(tmp_path / "S2_X.npy", x)
+    np.save(tmp_path / "S2_y.npy", y_raw)
+
+    for mode in ("stress_binary", "amusement_binary"):
+        for scheme in ("all", "baseline"):
+            got = _pack_subject_fused(tmp_path, "S2", idx, chans, mode, scheme)
+            assert got is not None
+            sid, x_got, y_got = got
+            y, keep = map_labels(y_raw, mode)
+            x_norm = normalize_subject(x[:, :, idx], y_raw, chans, scheme,
+                                       use_native=False)
+            want = x_norm[keep].transpose(0, 2, 1)
+            assert sid == "S2"
+            np.testing.assert_array_equal(y_got, y[keep])
+            np.testing.assert_allclose(x_got, want, rtol=2e-5, atol=2e-5,
+                                       err_msg=f"{mode}/{scheme}")
+
+
+def test_pack_corpus_fused_vs_numpy_path(rng, tmp_path, monkeypatch):
+    """pack_corpus output must not depend on whether the native fused path
+    is taken."""
+    from multimodalsignal_tpu.data import dataset as ds
+
+    w, t, c_all = 8, 32, 3
+    names_all = ["chest_ECG", "chest_EDA", "chest_Resp"]
+    for sid, seed in (("S2", 0), ("S3", 1)):
+        r = np.random.default_rng(seed)
+        np.save(tmp_path / f"{sid}_X.npy",
+                (r.standard_normal((w, t, c_all)) ** 2).astype(np.float32))
+        np.save(tmp_path / f"{sid}_y.npy", r.integers(1, 5, w).astype(np.int64))
+
+    fused = ds.pack_corpus(tmp_path, ["S2", "S3"], names_all, names_all)
+    monkeypatch.setattr(ds, "_pack_subject_fused",
+                        lambda *a, **k: None)
+    plain = ds.pack_corpus(tmp_path, ["S2", "S3"], names_all, names_all)
+    assert fused.subjects == plain.subjects
+    np.testing.assert_array_equal(fused.y, plain.y)
+    np.testing.assert_array_equal(fused.mask, plain.mask)
+    np.testing.assert_allclose(fused.x, plain.x, rtol=2e-5, atol=2e-5)
