@@ -105,8 +105,9 @@ class BiGRU(nn.Module):
                 # — gru_bidirectional_pallas, impl="pallas_fused" — but
                 # measured SLOWER at the flagship shape: its backward's
                 # working set forces tiny VMEM time-chunks; 151 vs 253
-                # train steps/s on v5e.) Kernels compute in float32; cast
-                # back so inter-layer math stays in the compute dtype.
+                # train steps/s on v5e.) bf16 compute dtype selects the
+                # kernels' bf16 mode (bf16 streams + MXU operands, f32
+                # carry/accumulators); f32 stays full f32.
                 y_f = gru_sequence_pallas(xg_f, whf, bhf, h0, reverse=False)
                 y_b = gru_sequence_pallas(xg_b, whb, bhb, h0, reverse=True)
                 y_f, y_b = y_f.astype(self.dtype), y_b.astype(self.dtype)

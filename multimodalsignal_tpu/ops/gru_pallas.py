@@ -89,7 +89,7 @@ def _fwd_kernel(xg_ref, whh_t_ref, bhh_ref, h0_ref, out_ref, h_scratch,
 
     @pl.when(i == 0)
     def _():
-        h_scratch[:] = h0_ref[:]
+        h_scratch[:] = h0_ref[:].astype(jnp.float32)
 
     # Chunk index in TIME order: the grid walks the recurrence order, which
     # for the reverse direction is the last chunk first.
@@ -99,8 +99,11 @@ def _fwd_kernel(xg_ref, whh_t_ref, bhh_ref, h0_ref, out_ref, h_scratch,
     def one_step(t, h):
         valid = (base + t) < t_total
         xg = xg_ref[t]
+        # In bf16 mode the carry stays f32 (accuracy over hundreds of steps)
+        # but the MXU operands are bf16: one pass instead of f32's three.
         hg = (
-            jnp.dot(h, whh_t_ref[:], preferred_element_type=jnp.float32)
+            jnp.dot(h.astype(whh_t_ref.dtype), whh_t_ref[:],
+                    preferred_element_type=jnp.float32)
             + bhh_ref[0]
         )
         xr, xz, xn = jnp.split(xg, 3, axis=-1)
@@ -110,7 +113,7 @@ def _fwd_kernel(xg_ref, whh_t_ref, bhh_ref, h0_ref, out_ref, h_scratch,
         n = jnp.tanh(xn + r * hn)
         h_new = (1.0 - z) * n + z * h
         h_new = jnp.where(valid, h_new, h)
-        out_ref[t] = h_new
+        out_ref[t] = h_new.astype(out_ref.dtype)
         return h_new
 
     # Unrolled inside the sequential loop: the recurrence is latency-bound
@@ -132,8 +135,9 @@ def _gru_forward(x_gates_tm, w_hh, b_hh, h0, reverse: bool):
     """x_gates_tm [T, B, 3H] time-major -> ys [T, B, H]."""
     t_total, batch, three_h = x_gates_tm.shape
     hidden = three_h // 3
+    dt = x_gates_tm.dtype  # f32, or bf16 (halved pipeline traffic)
     # Working set per time step: xg block + out block (double-buffered).
-    t_blk = _pick_t_blk(batch * (three_h + hidden) * 4, t_total)
+    t_blk = _pick_t_blk(batch * (three_h + hidden) * dt.itemsize, t_total)
     n_chunks = pl.cdiv(t_total, t_blk)
     whh_t = w_hh.T  # [H, 3H]
     bhh2 = b_hh.reshape(1, three_h)
@@ -156,7 +160,7 @@ def _gru_forward(x_gates_tm, w_hh, b_hh, h0, reverse: bool):
         ],
         out_specs=pl.BlockSpec((t_blk, batch, hidden), chunk_map,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_total, batch, hidden), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_total, batch, hidden), dt),
         scratch_shapes=[pltpu.VMEM((batch, hidden), jnp.float32)],
         interpret=_interpret(),
     )(x_gates_tm, whh_t, bhh2, h0)
@@ -196,7 +200,8 @@ def _bwd_kernel(dy_ref, hprev_ref, xg_ref, whh_t_ref, bhh_ref,
         valid = (base + t) < t_total
         # Mask the state itself: padded-block reads can be NaN/garbage and a
         # NaN times a zeroed dgates_h still poisons the dW accumulator.
-        h_prev = jnp.where(valid, hprev_ref[t], 0.0)
+        h_prev = jnp.where(valid, hprev_ref[t],
+                           jnp.zeros((), hprev_ref.dtype))
         xg = xg_ref[t]
         hg = (
             jnp.dot(h_prev, whh_t_ref[:], preferred_element_type=jnp.float32)
@@ -220,17 +225,19 @@ def _bwd_kernel(dy_ref, hprev_ref, xg_ref, whh_t_ref, bhh_ref,
         dgates_x = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
 
         zero = jnp.zeros_like(dgates_x)
-        dxg_ref[t] = jnp.where(valid, dgates_x, zero)
+        dxg_ref[t] = jnp.where(valid, dgates_x, zero).astype(dxg_ref.dtype)
         dgates_h = jnp.where(valid, dgates_h, zero)
 
+        # bf16 mode: bf16 MXU operands, f32 accumulators (dw/db scratch).
+        dg_lo = dgates_h.astype(whh_t_ref.dtype)
         dw_scratch[:] += jax.lax.dot_general(
-            h_prev, dgates_h, (((0,), (0,)), ((), ())),
+            h_prev, dg_lo, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [H, 3H]
         db_scratch[:] += jnp.sum(dgates_h, axis=0, keepdims=True)
 
         dh_prev = dht * z + jax.lax.dot_general(
-            dgates_h, whh_t_ref[:], (((1,), (1,)), ((), ())),
+            dg_lo, whh_t_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [B, H] = dgates_h @ whh_t.T
         return jnp.where(valid, dh_prev, dh)
@@ -258,8 +265,10 @@ def _bwd_kernel(dy_ref, hprev_ref, xg_ref, whh_t_ref, bhh_ref,
 def _gru_backward(x_gates_tm, w_hh, b_hh, h0, ys, dy, reverse: bool):
     t_total, batch, three_h = x_gates_tm.shape
     hidden = three_h // 3
+    dt = x_gates_tm.dtype
     # Working set per time step: dy + hprev + xg + dxg blocks.
-    t_blk = _pick_t_blk(batch * (2 * hidden + 2 * three_h) * 4, t_total)
+    t_blk = _pick_t_blk(batch * (2 * hidden + 2 * three_h) * dt.itemsize,
+                        t_total)
     n_chunks = pl.cdiv(t_total, t_blk)
     whh_t = w_hh.T
     bhh2 = b_hh.reshape(1, three_h)
@@ -268,9 +277,9 @@ def _gru_backward(x_gates_tm, w_hh, b_hh, h0, ys, dy, reverse: bool):
     #   forward: h_prev[t] = ys[t-1], h_prev[0]    = h0
     #   reverse: h_prev[t] = ys[t+1], h_prev[T-1]  = h0
     if reverse:
-        h_prev = jnp.concatenate([ys[1:], h0[None]], axis=0)
+        h_prev = jnp.concatenate([ys[1:], h0[None].astype(dt)], axis=0)
     else:
-        h_prev = jnp.concatenate([h0[None], ys[:-1]], axis=0)
+        h_prev = jnp.concatenate([h0[None].astype(dt), ys[:-1]], axis=0)
 
     def adj_map(i):
         return (i if reverse else (n_chunks - 1 - i), 0, 0)
@@ -295,7 +304,7 @@ def _gru_backward(x_gates_tm, w_hh, b_hh, h0, ys, dy, reverse: bool):
             pl.BlockSpec((batch, hidden), rep2, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_total, batch, three_h), jnp.float32),
+            jax.ShapeDtypeStruct((t_total, batch, three_h), dt),
             jax.ShapeDtypeStruct((hidden, three_h), jnp.float32),
             jax.ShapeDtypeStruct((1, three_h), jnp.float32),
             jax.ShapeDtypeStruct((batch, hidden), jnp.float32),
@@ -636,15 +645,25 @@ def _make_fwd_cv(reverse: bool):
         xg, w_hh, b_hh, h0 = _broadcast_unbatched(
             (xg, w_hh, b_hh, h0), in_batched, axis_size
         )
+        # The fold-batched kernels are f32-only (the sweep's compute dtype);
+        # route bf16 vmapped calls through f32 and cast back.
+        dt = xg.dtype
+        if dt != jnp.float32:
+            xg, w_hh, b_hh, h0 = (a.astype(jnp.float32)
+                                  for a in (xg, w_hh, b_hh, h0))
+            return _rule_f32(axis_size, xg, w_hh, b_hh, h0).astype(dt), True
+        return _rule_f32(axis_size, xg, w_hh, b_hh, h0), True
+
+    def _rule_f32(axis_size, xg, w_hh, b_hh, h0):
         g = _pick_group(axis_size)
         if g == 1:
-            return _gru_forward_fb(xg, w_hh, b_hh, h0, reverse), True
+            return _gru_forward_fb(xg, w_hh, b_hh, h0, reverse)
         fg = axis_size // g
         ys_g = _gru_forward_fb(
             _group_cols(xg, fg, g), _blockdiag_w(w_hh, fg, g),
             _group_cols(b_hh, fg, g), _group_h(h0, fg, g), reverse,
         )
-        return _ungroup_h(ys_g, fg, g), True
+        return _ungroup_h(ys_g, fg, g)
 
     return fwd
 
@@ -656,22 +675,28 @@ def _make_bwd_cv(reverse: bool):
 
     @bwd.def_vmap
     def _rule(axis_size, in_batched, xg, w_hh, b_hh, h0, ys, dy):  # noqa: F811
-        xg, w_hh, b_hh, h0, ys, dy = _broadcast_unbatched(
+        args = _broadcast_unbatched(
             (xg, w_hh, b_hh, h0, ys, dy), in_batched, axis_size
         )
+        dts = tuple(a.dtype for a in args[:4])
+        if any(dt != jnp.float32 for dt in dts):
+            args = tuple(a.astype(jnp.float32) for a in args)
+        grads = _rule_f32(axis_size, *args)
+        grads = tuple(g_.astype(dt) for g_, dt in zip(grads, dts))
+        return grads, (True, True, True, True)
+
+    def _rule_f32(axis_size, xg, w_hh, b_hh, h0, ys, dy):
         g = _pick_group(axis_size)
         if g == 1:
-            return (_gru_backward_fb(xg, w_hh, b_hh, h0, ys, dy, reverse),
-                    (True, True, True, True))
+            return _gru_backward_fb(xg, w_hh, b_hh, h0, ys, dy, reverse)
         fg = axis_size // g
         dxg_g, dwbd, dbhh_g, dh0_g = _gru_backward_fb(
             _group_cols(xg, fg, g), _blockdiag_w(w_hh, fg, g),
             _group_cols(b_hh, fg, g), _group_h(h0, fg, g),
             _group_h(ys, fg, g), _group_h(dy, fg, g), reverse,
         )
-        return ((_ungroup_cols(dxg_g, fg, g), _diag_dw(dwbd, fg, g),
-                 _ungroup_cols(dbhh_g, fg, g), _ungroup_h(dh0_g, fg, g)),
-                (True, True, True, True))
+        return (_ungroup_cols(dxg_g, fg, g), _diag_dw(dwbd, fg, g),
+                _ungroup_cols(dbhh_g, fg, g), _ungroup_h(dh0_g, fg, g))
 
     return bwd
 
@@ -696,17 +721,29 @@ def _gru_tm_fwd(reverse, x_gates_tm, w_hh, b_hh, h0):
 
 def _gru_tm_bwd(reverse, res, dy):
     x_gates_tm, w_hh, b_hh, h0, ys = res
-    return _BWD_CV[reverse](x_gates_tm, w_hh, b_hh, h0, ys, dy)
+    dxg, dw, db, dh0 = _BWD_CV[reverse](x_gates_tm, w_hh, b_hh, h0, ys, dy)
+    # bf16 mode keeps f32 accumulators for dW/db inside the kernel; the
+    # cotangents must still match the primal dtypes at the custom_vjp
+    # boundary (the f32 master params recover precision at the optax update).
+    return (dxg.astype(x_gates_tm.dtype), dw.astype(w_hh.dtype),
+            db.astype(b_hh.dtype), dh0.astype(h0.dtype))
 
 
 _gru_tm.defvjp(_gru_tm_fwd, _gru_tm_bwd)
 
 
 def gru_sequence_pallas(x_gates, w_hh, b_hh, h0, reverse: bool = False):
-    """Drop-in for models.gru.gru_sequence: [B, T, 3H] gates -> [B, T, H]."""
-    x_tm = jnp.swapaxes(x_gates, 0, 1).astype(jnp.float32)
-    ys = _gru_tm(bool(reverse), x_tm, w_hh.astype(jnp.float32),
-                 b_hh.astype(jnp.float32), h0.astype(jnp.float32))
+    """Drop-in for models.gru.gru_sequence: [B, T, 3H] gates -> [B, T, H].
+
+    bf16 inputs select the bf16 kernel mode: the big time-major arrays
+    (gates, outputs, their cotangents) and the MXU operands are bf16 —
+    halved VMEM pipeline traffic and 1-pass (vs f32's 3-pass) MXU matmuls
+    — while the hidden-state carry and dW/db accumulators stay f32. The
+    initial state is always carried f32."""
+    dt = (jnp.bfloat16 if x_gates.dtype == jnp.bfloat16 else jnp.float32)
+    x_tm = jnp.swapaxes(x_gates, 0, 1).astype(dt)
+    ys = _gru_tm(bool(reverse), x_tm, w_hh.astype(dt),
+                 b_hh.astype(dt), h0.astype(jnp.float32))
     return jnp.swapaxes(ys, 0, 1)
 
 

@@ -229,3 +229,64 @@ def test_fold_batched_partial_batching(rng):
     want = jax.vmap(lambda a, d: gru_sequence(a, w0, b0, d))(xg, h0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+# --- bf16 kernel mode ------------------------------------------------------
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_bf16_forward_and_grads_close_to_f32(rng, reverse):
+    """bf16 inputs select the kernels' bf16 mode (bf16 streams/MXU operands,
+    f32 carry + dW/db accumulators). Outputs and gradients must track the
+    f32 kernel within bf16 round-off, and cotangent dtypes must match the
+    bf16 primals."""
+    x_gates, w_hh, b_hh, h0 = _setup(rng, t=T_BLK + 9)
+
+    want_y = gru_sequence_pallas(x_gates, w_hh, b_hh, h0, reverse=reverse)
+    got_y = gru_sequence_pallas(
+        x_gates.astype(jnp.bfloat16), w_hh.astype(jnp.bfloat16),
+        b_hh.astype(jnp.bfloat16), h0, reverse=reverse,
+    )
+    assert got_y.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got_y, np.float32), np.asarray(want_y),
+        rtol=0.0, atol=0.05,
+    )
+
+    def loss(xg, whh, bhh, h0):
+        y = gru_sequence_pallas(xg, whh, bhh, h0, reverse=reverse)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    want_g = jax.grad(loss, argnums=(0, 1, 2, 3))(x_gates, w_hh, b_hh, h0)
+    got_g = jax.grad(loss, argnums=(0, 1, 2, 3))(
+        x_gates.astype(jnp.bfloat16), w_hh.astype(jnp.bfloat16),
+        b_hh.astype(jnp.bfloat16), h0,
+    )
+    assert got_g[0].dtype == jnp.bfloat16
+    assert got_g[1].dtype == jnp.bfloat16
+    assert got_g[3].dtype == jnp.float32  # h0 is always carried f32
+    for g, w, name, tol in zip(
+        got_g, want_g, ("dx_gates", "dw_hh", "db_hh", "dh0"),
+        (0.15, 0.5, 0.5, 0.15),
+    ):
+        scale = float(np.abs(np.asarray(w, np.float32)).max()) + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32) / scale,
+            np.asarray(w, np.float32) / scale,
+            rtol=0.0, atol=tol / scale if scale > 1 else tol,
+            err_msg=f"bf16 gradient diverged: {name}",
+        )
+
+
+def test_bf16_bigru_module(rng):
+    """BiGRU(dtype=bfloat16, impl=pallas) runs end-to-end and tracks the
+    f32 module within bf16 tolerance."""
+    x = jnp.asarray(rng.standard_normal((2, T_BLK + 3, 4)), jnp.float32)
+    mod32 = BiGRU(hidden_size=8, num_layers=1, impl="pallas")
+    mod16 = BiGRU(hidden_size=8, num_layers=1, impl="pallas",
+                  dtype=jnp.bfloat16)
+    variables = mod32.init(jax.random.PRNGKey(1), x)
+    want = mod32.apply(variables, x)
+    got = mod16.apply(variables, x)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
+                               rtol=0.0, atol=0.1)
