@@ -175,7 +175,7 @@ def _fb_setup(rng, f=3, b=4, t=None, h=8):
 @pytest.mark.parametrize("f,reverse", [
     (5, True),                       # no divisor <= 4: ungrouped G=1 path
     (4, False),                      # grouped, one G=4 block
-    (8, True),                       # grouped, TWO G=4 blocks + reverse
+    pytest.param(8, True, marks=pytest.mark.slow),   # TWO G=4 blocks
     pytest.param(3, True, marks=pytest.mark.slow),   # G=3 divisor path
     pytest.param(5, False, marks=pytest.mark.slow),
     pytest.param(4, True, marks=pytest.mark.slow),
@@ -233,7 +233,9 @@ def test_fold_batched_partial_batching(rng):
 
 # --- bf16 kernel mode ------------------------------------------------------
 
-@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize("reverse", [
+    False, pytest.param(True, marks=pytest.mark.slow),
+])
 def test_bf16_forward_and_grads_close_to_f32(rng, reverse):
     """bf16 inputs select the kernels' bf16 mode (bf16 streams/MXU operands,
     f32 carry + dW/db accumulators). Outputs and gradients must track the
