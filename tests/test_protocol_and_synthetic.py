@@ -1,6 +1,7 @@
 """Quest-CSV parsing (incl. S2/S6 Base halving) and synthetic fixture layout."""
 
 import numpy as np
+import pytest
 
 from multimodalsignal_tpu.data.protocol import parse_quest_csv
 from multimodalsignal_tpu.data.synthetic import write_synthetic_wesad
@@ -96,3 +97,83 @@ def test_hard_corpus_preprocessable(tmp_path):
     assert X.shape[1] == 60 * 128 and X.shape[2] == 14  # 8 chest + 6 wrist
     assert set(np.unique(y)) == {1, 2}
     assert np.isfinite(X).all()
+
+
+@pytest.mark.slow
+def test_hard_corpus_fusion_beats_single_channels(tmp_path):
+    """Regression guard for the benchmark corpus's headline structure
+    (reference README.md:13: multimodal fusion > single-modality): on the
+    calibrated-hard corpus, a LOSO gradient-boosting probe over per-channel
+    window statistics must score higher with the fusion6 channel set than
+    with any single channel. Uses the same probe as
+    benchmarks/probe_difficulty.py (the TPU ablation grid in
+    benchmarks/BENCHMARK.md is the full-model version of this assertion);
+    one corpus build serves all channel sets because the stat columns are
+    per-channel."""
+    from sklearn.ensemble import HistGradientBoostingClassifier
+
+    from multimodalsignal_tpu.config import (
+        ALL_CHANNEL_NAMES,
+        PreprocessConfig,
+        WRIST_CHANNEL_NAMES,
+    )
+    from multimodalsignal_tpu.data.dataset import map_labels, normalize_subject
+    from multimodalsignal_tpu.data.preprocess import preprocess_subject
+    from multimodalsignal_tpu.data.synthetic import (
+        BENCHMARK_TASKS,
+        Hardness,
+        write_synthetic_wesad,
+    )
+
+    fusion6 = ["chest_ECG", "chest_EDA", "chest_EMG", "chest_Resp",
+               "wrist_BVP", "wrist_EDA"]
+    all_names = list(ALL_CHANNEL_NAMES) + list(WRIST_CHANNEL_NAMES)
+    ch_idx = [all_names.index(c) for c in fusion6]
+    subjects = [f"S{i}" for i in range(2, 12)]  # 10 subjects
+    tasks = tuple((t, d * 0.35) for t, d in BENCHMARK_TASKS)
+
+    def window_stats(x):  # [N, T, C] -> [N, C*6], feature-major blocks
+        return np.concatenate([
+            x.mean(axis=1), x.std(axis=1),
+            np.percentile(x, 10, axis=1), np.percentile(x, 90, axis=1),
+            np.abs(np.diff(x, axis=1)).mean(axis=1),
+            np.percentile(x, 50, axis=1),
+        ], axis=1)
+
+    per_subject = {}
+    root = tmp_path / "WESAD"
+    for i, sid in enumerate(subjects):
+        write_synthetic_wesad(root, [sid], tasks=tasks, seed=3 + i,
+                              hardness=Hardness())
+        cfg = PreprocessConfig(wesad_root=str(root), targets=("raw",),
+                               include_wrist=True, subjects=(sid,))
+        X, y_raw = preprocess_subject(sid, cfg)["raw"]
+        Xn = normalize_subject(X[:, :, ch_idx], y_raw, fusion6, scheme="all")
+        y, keep = map_labels(y_raw, "stress_binary")
+        per_subject[sid] = (window_stats(Xn[keep]), y[keep])
+
+    n_ch = len(fusion6)
+
+    def probe(cols):
+        accs = []
+        for test_sid in subjects:
+            xtr = np.concatenate([per_subject[s][0] for s in subjects
+                                  if s != test_sid])[:, cols]
+            ytr = np.concatenate([per_subject[s][1] for s in subjects
+                                  if s != test_sid])
+            xte, yte = per_subject[test_sid]
+            clf = HistGradientBoostingClassifier(max_iter=100, random_state=0)
+            clf.fit(xtr, ytr)
+            accs.append(float((clf.predict(xte[:, cols]) == yte).mean()))
+        return float(np.mean(accs))
+
+    fusion_acc = probe(list(range(6 * n_ch)))
+    singles = {}
+    for c, name in enumerate(fusion6):
+        cols = [f * n_ch + c for f in range(6)]
+        singles[name] = probe(cols)
+    best_single = max(singles.values())
+    assert fusion_acc > best_single + 0.01, (
+        f"fusion6 probe acc {fusion_acc:.4f} does not beat best single "
+        f"channel {best_single:.4f} ({singles})"
+    )
