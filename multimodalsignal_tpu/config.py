@@ -282,6 +282,11 @@ def _replace_at(cfg, parent_path: tuple, kv: dict):
             current = getattr(cfg, name)
             if isinstance(current, tuple) and isinstance(value, (list, tuple)):
                 value = tuple(value)
+            elif isinstance(current, tuple) and isinstance(value, str):
+                # Single-element override of a tuple field, e.g.
+                # --set channels_to_use=chest_ECG (main.py:9's documented
+                # syntax): a bare string would iterate per character.
+                value = (value,)
             fixed[name] = value
         return dataclasses.replace(cfg, **fixed)
     child = getattr(cfg, parent_path[0])

@@ -234,3 +234,18 @@ def test_balanced_class_weights_matches_sklearn():
     got = balanced_class_weights(y, 2)
     want = compute_class_weight("balanced", classes=np.array([0, 1]), y=y)
     np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-6)
+
+
+def test_single_element_tuple_override():
+    """--set channels_to_use=chest_ECG (main.py's documented single-channel
+    syntax) must become a 1-tuple, not a string that iterates per character."""
+    from multimodalsignal_tpu.config import ExperimentConfig, apply_overrides
+    from multimodalsignal_tpu.main import _parse_value
+
+    cfg = apply_overrides(
+        ExperimentConfig(),
+        {"channels_to_use": _parse_value("chest_ECG"),
+         "subjects": _parse_value("S2,S3")},
+    )
+    assert cfg.channels_to_use == ("chest_ECG",)
+    assert cfg.subjects == ("S2", "S3")
