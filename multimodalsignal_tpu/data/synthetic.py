@@ -240,6 +240,16 @@ class Hardness:
     responder_sparsity: float = 0.7
     weak_response: tuple[float, float] = (0.05, 0.35)
     strong_response: tuple[float, float] = (0.55, 1.15)
+    # Minimum count of strong CORE axes (hr/eda/resp) per subject: keeps
+    # multimodal fusion learnable for every subject while single channels
+    # stay unreliable for subjects weak on that channel.
+    min_strong_axes: int = 1
+    # Exact-responder mode: when set, each subject is strong in EXACTLY this
+    # many core axes (uniformly chosen) and weak elsewhere — the cleanest way
+    # to make every single channel unreliable for ~(1 - k/3) of subjects
+    # while fusion always has k informative channels. Overrides
+    # responder_sparsity/min_strong_axes for the core axes.
+    strong_axes_exact: int | None = None
     # Physiological latency at task boundaries (exponential time constant).
     ramp_sec: float = 60.0
     # Tonic-drift magnitude as a fraction of the strong TSST response.
@@ -356,11 +366,22 @@ def synthesize_subject_hard(
         lo, hi = hard.weak_response if weak else hard.strong_response
         response[ax] = rng.uniform(lo, hi)
     # Every subject responds SOMEWHERE (else even fusion is unlearnable):
-    # promote one of the fusion-relevant axes if all came out weak.
+    # promote fusion-relevant axes until min_strong_axes of them are strong.
     core = ("hr", "eda", "resp")
-    if max(response[ax] for ax in core) < hard.strong_response[0]:
-        promote = core[rng.integers(0, len(core))]
-        response[promote] = rng.uniform(*hard.strong_response)
+    if hard.strong_axes_exact is not None:
+        k = min(hard.strong_axes_exact, len(core))
+        strong_set = rng.choice(len(core), size=k, replace=False)
+        for i, ax in enumerate(core):
+            lo, hi = (hard.strong_response if i in strong_set
+                      else hard.weak_response)
+            response[ax] = rng.uniform(lo, hi)
+    else:
+        strong_lo = hard.strong_response[0]
+        n_strong = sum(response[ax] >= strong_lo for ax in core)
+        weak_core = [ax for ax in core if response[ax] < strong_lo]
+        for _ in range(min(hard.min_strong_axes - n_strong, len(weak_core))):
+            promote = weak_core.pop(int(rng.integers(0, len(weak_core))))
+            response[promote] = rng.uniform(*hard.strong_response)
 
     # --- control tracks over the whole session ---------------------------
     seg_n700 = [int(d * 60 * fs) for _, d in tasks]
