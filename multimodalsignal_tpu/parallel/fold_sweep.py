@@ -226,12 +226,12 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
         # recompute them in the backward instead of storing them.
         apply_train = jax.checkpoint(apply_train)
 
-    def loss_and_grads(state: TrainState, x, y, xb_idx, wb, dropout_rng):
+    def loss_and_grads(state: TrainState, x, y, xb_idx, wb, dropout_rng, cw):
         def loss_fn(params):
             logits, new_bs = apply_train(
                 params, state.batch_stats, x[xb_idx], dropout_rng
             )
-            loss, wsum = cross_entropy(logits, y[xb_idx], wb)
+            loss, wsum = cross_entropy(logits, y[xb_idx], wb, cw)
             return loss, (new_bs["batch_stats"], wsum)
 
         (loss, (new_bs, wsum)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -239,7 +239,7 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
         )
         return loss, wsum, new_bs, grads
 
-    def eval_pass(state: TrainState, x, y, idx, w):
+    def eval_pass(state: TrainState, x, y, idx, w, cw):
         """Returns (mean loss, confusion matrix, softmax probs [steps*B, C])
         — probs mirror the reference's eval-time collection
         (trainer.py:224-231); the epoch path discards them (dead-code
@@ -251,7 +251,7 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
                 {"params": state.params, "batch_stats": state.batch_stats},
                 x[bi], train=False,
             )
-            loss, wsum = cross_entropy(logits, y[bi], wb)
+            loss, wsum = cross_entropy(logits, y[bi], wb, cw)
             preds = jnp.argmax(logits, axis=-1)
             cm = cm + M.confusion_matrix(y[bi], preds, num_classes, wb)
             return (loss_sum + loss * wsum, w_sum + wsum, cm), jax.nn.softmax(logits, axis=-1)
@@ -262,9 +262,11 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
                 probs.reshape(-1, num_classes))
 
     def epoch_program(x, y, fb_train_pool, fb_n_train, fb_val_pool, fb_n_val,
-                      carry, epoch):
+                      fb_cw, carry, epoch):
         """One training epoch of ONE fold (vmapped over folds); masked to a
-        no-op once the fold has early-stopped."""
+        no-op once the fold has early-stopped. fb_cw [num_classes] is the
+        fold's per-class loss weighting (ones when
+        trainer.use_class_weights is off — exact no-op)."""
         val_idx, val_w = _sequential_grid(fb_val_pool, fb_n_val, steps_va, batch)
 
         def epoch_body(carry, epoch):
@@ -277,7 +279,8 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
                 st, drng, loss_sum, w_sum = scarry
                 bi, wb = inp
                 drng, d = jax.random.split(drng)
-                loss, wsum, new_bs, grads = loss_and_grads(st, x, y, bi, wb, d)
+                loss, wsum, new_bs, grads = loss_and_grads(st, x, y, bi, wb, d,
+                                                           fb_cw)
                 updates, new_opt = tx.update(grads, st.opt_state, st.params)
                 new_params = optax.apply_updates(st.params, updates)
                 valid = wb.sum() > 0
@@ -293,7 +296,8 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
             )
             train_loss = loss_sum / jnp.maximum(w_sum, 1e-12)
 
-            val_loss, val_cm, _ = eval_pass(new_state, x, y, val_idx, val_w)
+            val_loss, val_cm, _ = eval_pass(new_state, x, y, val_idx, val_w,
+                                            fb_cw)
             val_acc = M.accuracy_from_cm(val_cm)
             val_f1 = M.weighted_f1_from_cm(val_cm)
 
@@ -334,7 +338,7 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
         best0 = (init_state.params, init_state.batch_stats)
         return (init_state, best0, es0, pl0, rng, jnp.asarray(False))
 
-    def finalize_program(x, y, fb_test_pool, fb_n_test, carry):
+    def finalize_program(x, y, fb_test_pool, fb_n_test, fb_cw, carry):
         """Restore the best state and evaluate the held-out subject."""
         state, best, es, pl, _, _ = carry
         # Reference default here: always restore the best checkpoint
@@ -348,12 +352,14 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
             TrainState(best_params, best_bs, state.opt_state), state,
         )
         test_idx, test_w = _sequential_grid(fb_test_pool, fb_n_test, steps_te, batch)
-        test_loss, test_cm, test_probs = eval_pass(final_state, x, y, test_idx, test_w)
+        test_loss, test_cm, test_probs = eval_pass(final_state, x, y,
+                                                   test_idx, test_w, fb_cw)
         return (test_loss, test_cm, es.best_epoch,
                 final_state.params, final_state.batch_stats, test_probs)
 
     def fold_program(x, y, fb_train_pool, fb_n_train, fb_val_pool, fb_n_val,
-                     fb_test_pool, fb_n_test, init_state: TrainState, rng):
+                     fb_test_pool, fb_n_test, fb_cw, init_state: TrainState,
+                     rng):
         """Fused mode: the full train-to-test lifecycle of ONE fold as a
         single program. Epoch loop as while_loop, not scan: the sweep exits
         as soon as EVERY fold has early-stopped (under vmap the condition
@@ -373,7 +379,7 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
             epoch, carry, logs = loop_carry
             carry, log = epoch_program(
                 x, y, fb_train_pool, fb_n_train, fb_val_pool, fb_n_val,
-                carry, epoch,
+                fb_cw, carry, epoch,
             )
             logs = jax.tree_util.tree_map(
                 lambda arr, v: arr.at[epoch].set(v), logs, log
@@ -386,7 +392,7 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
         )
         train_loss, val_loss, val_acc, val_f1, lr, ran = logs
         test_loss, test_cm, best_epoch, fparams, fbs, test_probs = finalize_program(
-            x, y, fb_test_pool, fb_n_test, carry
+            x, y, fb_test_pool, fb_n_test, fb_cw, carry
         )
         return SweepResult(
             history=SweepHistory(train_loss, val_loss, val_acc, val_f1, lr),
@@ -536,13 +542,31 @@ def run_fold_sweep(
     init_states = jax.device_put(init_states, fold_sharding)
     run_rngs = put_folded(run_rngs)
 
+    # Per-fold class weights (reference's intended-but-dead branch,
+    # trainer.py:80-97; the serial path's balanced_class_weights). Ones when
+    # disabled — an exact no-op in the loss, so one compiled program serves
+    # both settings.
+    if cfg.trainer.use_class_weights:
+        from multimodalsignal_tpu.experiments.loso import balanced_class_weights
+
+        cw_np = np.stack([
+            balanced_class_weights(
+                np.asarray(y_flat)[fb.train_pool[i, :int(fb.n_train[i])]],
+                cfg.num_classes,
+            )
+            for i in range(num_folds)
+        ])
+    else:
+        cw_np = np.ones((num_folds, cfg.num_classes), np.float32)
+    fb_cw = put_folded(jnp.asarray(cw_np))
+
     if dispatch == "fused":
         sweep = jax.jit(
-            jax.vmap(programs["fold_program"], in_axes=(None, None) + (0,) * 8)
+            jax.vmap(programs["fold_program"], in_axes=(None, None) + (0,) * 9)
         )
         with mesh:
             result = sweep(x_dev, y_dev, tr_pool, n_tr, va_pool, n_va,
-                           te_pool, n_te, init_states, run_rngs)
+                           te_pool, n_te, fb_cw, init_states, run_rngs)
         return jax.tree_util.tree_map(np.asarray, result)
 
     # "per_epoch" (default): one short XLA execution per epoch, all folds in
@@ -553,10 +577,11 @@ def run_fold_sweep(
     # program; (c) gives the host per-epoch progress + early exit when every
     # fold has stopped.
     epoch_fn = jax.jit(
-        jax.vmap(programs["epoch"], in_axes=(None, None, 0, 0, 0, 0, 0, None)),
+        jax.vmap(programs["epoch"],
+                 in_axes=(None, None, 0, 0, 0, 0, 0, 0, None)),
     )
     finalize_fn = jax.jit(
-        jax.vmap(programs["finalize"], in_axes=(None, None, 0, 0, 0))
+        jax.vmap(programs["finalize"], in_axes=(None, None, 0, 0, 0, 0))
     )
     carry = jax.vmap(programs["init_carry"])(init_states, run_rngs)
     carry = jax.device_put(carry, fold_sharding)
@@ -577,7 +602,7 @@ def run_fold_sweep(
     with mesh:
         for epoch in range(start_epoch, epochs):
             carry, log = epoch_fn(x_dev, y_dev, tr_pool, n_tr, va_pool, n_va,
-                                  carry, jnp.asarray(epoch, jnp.int32))
+                                  fb_cw, carry, jnp.asarray(epoch, jnp.int32))
             logs.append(jax.tree_util.tree_map(np.asarray, log))
             epochs_ran = epoch + 1
             stopped = np.asarray(carry[5])
@@ -596,7 +621,7 @@ def run_fold_sweep(
                 print(f"  all folds early-stopped at epoch {epoch + 1}")
                 break
         test_loss, test_cm, best_epoch, fparams, fbs, test_probs = finalize_fn(
-            x_dev, y_dev, te_pool, n_te, carry
+            x_dev, y_dev, te_pool, n_te, fb_cw, carry
         )
 
     # Stack per-epoch logs to [F, epochs] (zero-padded past the exit).

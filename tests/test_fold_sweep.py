@@ -280,3 +280,48 @@ def test_sweep_resume_bit_identical(tmp_path):
                                   np.asarray(r_resumed.best_epoch))
     np.testing.assert_array_equal(np.asarray(r_full.stop_epoch),
                                   np.asarray(r_resumed.stop_epoch))
+
+
+def test_sweep_class_weights_change_training():
+    """trainer.use_class_weights (the reference's intended-but-dead branch,
+    trainer.py:80-97) must reach the sweep's loss: with a heavily imbalanced
+    corpus, balanced weighting changes the training trajectory vs uniform
+    weighting, and weighting off stays the exact default behavior (ones are
+    a no-op — covered bitwise by test_dispatch_modes_equivalent)."""
+    import dataclasses
+
+    from jax.sharding import Mesh
+
+    from multimodalsignal_tpu.data.dataset import PackedCorpus
+    from multimodalsignal_tpu.parallel.fold_sweep import run_fold_sweep
+
+    rng_np = np.random.default_rng(1)
+    s, wmax, c, t = 4, 16, 2, 128
+    y = np.zeros((s, wmax), np.int32)
+    y[:, :2] = 1  # 12.5% minority
+    corpus = PackedCorpus(
+        x=(rng_np.standard_normal((s, wmax, c, t))
+           + 0.5 * y[..., None, None]).astype(np.float32),
+        y=y,
+        mask=np.ones((s, wmax), dtype=bool),
+        subjects=tuple(f"S{i+2}" for i in range(s)),
+    )
+    fb = build_fold_batch(corpus, list(corpus.subjects), pad_folds_to=4)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("fold",))
+    cfg = ExperimentConfig(
+        subjects=corpus.subjects,
+        channels_to_use=("chest_ECG", "chest_EDA"),
+        model=ModelConfig(cnn_out_channels=4, gru_hidden_size=4,
+                          gru_num_layers=1),
+        trainer=TrainerConfig(epochs=2, batch_size=8,
+                              early_stopping=EarlyStoppingConfig(patience=5)),
+    )
+    r_plain = run_fold_sweep(corpus, fb, cfg, mesh)
+    cfg_cw = dataclasses.replace(
+        cfg, trainer=dataclasses.replace(cfg.trainer, use_class_weights=True)
+    )
+    r_cw = run_fold_sweep(corpus, fb, cfg_cw, mesh)
+    assert not np.allclose(np.asarray(r_plain.history.train_loss),
+                           np.asarray(r_cw.history.train_loss))
+    assert not np.array_equal(np.asarray(r_plain.test_cm),
+                              np.asarray(r_cw.test_cm))
