@@ -26,6 +26,9 @@ from pathlib import Path
 import numpy as np
 
 EDA_CHANNEL = "chest_EDA"
+# Floor for the EDA log1p (keeps it defined when FFT resampling rings below
+# -1 at artifact steps); mirrored by the C++ engine (window_engine.cpp).
+_LOG1P_FLOOR = -1.0 + 1e-6
 NORMALIZATION_SCHEMES = ("all", "baseline", "none")
 
 
@@ -123,8 +126,12 @@ def normalize_subject(
         ref = x
     for c, name in enumerate(channel_names):
         if name == EDA_CHANNEL:
-            log_all = np.log1p(x[:, :, c])
-            log_ref = np.log1p(ref[:, :, c])
+            # Total log1p: FFT resampling can ring below -1 at sharp
+            # artifact steps (physically impossible for conductance, but
+            # present in resampled corrupted recordings); the reference
+            # would NaN here (dataset.py:40-44 on real data never does).
+            log_all = np.log1p(np.maximum(x[:, :, c], _LOG1P_FLOOR))
+            log_ref = np.log1p(np.maximum(ref[:, :, c], _LOG1P_FLOOR))
             mean, std = log_ref.mean(), log_ref.std() + 1e-8
             out[:, :, c] = ((log_all - mean) / std).astype(np.float32)
         else:

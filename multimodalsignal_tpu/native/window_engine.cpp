@@ -11,10 +11,17 @@
 // Build: g++ -O3 -march=native -shared -fPIC -fopenmp (openmp optional)
 //        window_engine.cpp -o libwindow_engine.so
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
+
+// Floor for the EDA log1p: FFT resampling can ring below -1 at sharp
+// artifact steps; keep the transform total (mirrors dataset._LOG1P_FLOOR).
+static inline double log1p_safe(double v) {
+    return std::log1p(std::max(v, -1.0 + 1e-6));
+}
 
 extern "C" {
 
@@ -46,7 +53,7 @@ void normalize_windows_f32(float* windows, int64_t num_windows, int64_t window,
         float* row = windows + r * channels;
         for (int64_t c = 0; c < channels; ++c) {
             double v = static_cast<double>(row[c]);
-            if (log1p_mask[c]) v = std::log1p(v);
+            if (log1p_mask[c]) v = log1p_safe(v);
             row[c] = static_cast<float>((v - mean[c]) / std[c]);
         }
     }
@@ -64,7 +71,7 @@ void channel_stats_f32(const float* windows, int64_t num_windows,
 #pragma omp parallel for reduction(+ : s, s2) schedule(static)
         for (int64_t r = 0; r < rows; ++r) {
             double v = static_cast<double>(windows[r * channels + c]);
-            if (log1p_mask[c]) v = std::log1p(v);
+            if (log1p_mask[c]) v = log1p_safe(v);
             s += v;
             s2 += v * v;
         }
@@ -105,7 +112,7 @@ void pack_subject_f32(const float* x, int64_t w_total, int64_t t_len,
             double s = 0.0, s2 = 0.0;
             if (log1p_mask[c]) {
                 for (int64_t t = 0; t < t_len; ++t) {
-                    const double v = std::log1p(
+                    const double v = log1p_safe(
                         static_cast<double>(p[t * c_all]));
                     s += v;
                     s2 += v * v;
@@ -148,7 +155,7 @@ void pack_subject_f32(const float* x, int64_t w_total, int64_t t_len,
             if (log1p_mask[c]) {
                 for (int64_t t = 0; t < t_len; ++t)
                     q[t] = static_cast<float>(
-                        (std::log1p(static_cast<double>(p[t * c_all])) - m)
+                        (log1p_safe(static_cast<double>(p[t * c_all])) - m)
                         / sd);
             } else {
                 for (int64_t t = 0; t < t_len; ++t)

@@ -148,3 +148,34 @@ def test_pack_corpus_fused_vs_numpy_path(rng, tmp_path, monkeypatch):
     np.testing.assert_array_equal(fused.y, plain.y)
     np.testing.assert_array_equal(fused.mask, plain.mask)
     np.testing.assert_allclose(fused.x, plain.x, rtol=2e-5, atol=2e-5)
+
+
+def test_log1p_total_below_minus_one(rng, tmp_path):
+    """FFT-resampled EDA can ring below -1 at artifact steps; the log1p
+    z-score must stay finite (floored at -1+1e-6) and NumPy/native/fused
+    paths must agree (reference dataset.py:40-44 would NaN here)."""
+    from multimodalsignal_tpu.data.dataset import (
+        _pack_subject_fused,
+        normalize_subject,
+    )
+
+    w, t = 6, 32
+    chans = ["chest_ECG", "chest_EDA"]
+    x = rng.standard_normal((w, t, 2)).astype(np.float32)
+    x[:, :5, 1] = -1.8  # sub--1 EDA ringing
+    y_raw = np.ones(w, np.int64)
+
+    out_np = normalize_subject(x, y_raw, chans, "all", use_native=False)
+    out_nat = normalize_subject(x, y_raw, chans, "all", use_native=True)
+    assert np.isfinite(out_np).all() and np.isfinite(out_nat).all()
+    np.testing.assert_allclose(out_nat, out_np, rtol=2e-5, atol=2e-5)
+
+    np.save(tmp_path / "S2_X.npy", x)
+    np.save(tmp_path / "S2_y.npy", y_raw)
+    got = _pack_subject_fused(tmp_path, "S2", [0, 1], chans,
+                              "stress_binary", "all")
+    assert got is not None
+    _, x_fused, _ = got
+    assert np.isfinite(x_fused).all()
+    np.testing.assert_allclose(x_fused, out_np.transpose(0, 2, 1),
+                               rtol=2e-5, atol=2e-5)
