@@ -263,6 +263,23 @@ class Hardness:
     noise: float = 2.0
 
 
+# The benchmark-corpus calibration (benchmarks/BENCHMARK.md): every core
+# axis responds MODERATELY while condition-uncorrelated tonic drift is
+# cranked to the same scale, so no single channel separates stress from a
+# 60 s window (each sits at the ~80% majority floor of the LOSO sweep) but
+# fusing channels with independent drift averages the wander out and
+# clears the floor — the reference's headline structure (README.md:13,
+# multimodal fusion > single-modality) reproduced by a physiologically
+# honest mechanism rather than by construction.
+BENCHMARK_HARDNESS = Hardness(
+    responder_sparsity=1.0,
+    weak_response=(0.35, 0.6),
+    strong_response=(0.35, 0.6),
+    drift=2.2,
+    channel_dropout_prob=0.10,
+)
+
+
 # Axis deltas from Base per condition (hr bpm, EDA tonic uS, resp bpm,
 # EMG amplitude). Smaller than the easy generator's separations; scaled per
 # subject by the responder profile.
