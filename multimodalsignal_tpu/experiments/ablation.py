@@ -35,6 +35,7 @@ from multimodalsignal_tpu.config import (
 DEFAULT_CHANNEL_SUBSETS: dict[str, tuple[str, ...]] = {
     "fusion6": ("chest_ECG", "chest_EDA", "chest_EMG", "chest_Resp",
                 "wrist_BVP", "wrist_EDA"),
+    "fusion4": ("chest_ECG", "chest_EDA", "chest_EMG", "chest_Resp"),
     "fusion3": ("chest_ECG", "chest_EDA", "chest_Resp"),
     "ecg": ("chest_ECG",),
     "eda": ("chest_EDA",),
