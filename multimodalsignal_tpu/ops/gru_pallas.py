@@ -549,22 +549,26 @@ def _broadcast_unbatched(args, in_batched, axis_size):
 
 # --- fold grouping: G folds share one block-diagonal MXU matmul -------------
 #
-# The fold-batched dot_general still issues F small [B,H]x[H,3H] matmuls per
-# time step (the MXU executes batch dims sequentially), so per-step cost
-# scales with F. Packing G folds into one matmul fixes that: hidden states
-# concatenate along features ([B, G*H], fold-major columns) and the recurrent
-# weights become a block-diagonal [G*H, 3*G*H] with GATE-MAJOR output columns
-# ([r: fold0..foldG-1 | z: ... | n: ...]) — so the kernels' jnp.split-by-gate
-# math works unchanged on the grouped arrays and the zero off-diagonal blocks
-# kill all cross-fold terms exactly. The G-fold FLOP overhead is free (the
-# recurrence is latency-bound, not FLOP-bound).
+# The fold-batched dot_general issues F small [B,H]x[H,3H] matmuls per time
+# step; grouping packs G folds into one [B,G*H]x[G*H,3*G*H] block-diagonal
+# contraction (hidden states fold-major along features, weights with
+# GATE-MAJOR output columns so the kernels' split-by-gate math is unchanged;
+# zero off-diagonal blocks cancel cross-fold terms exactly).
+#
+# NEGATIVE RESULT — off by default (benchmarks/RESULTS.md round 2): measured
+# end-to-end on the 15-fold fusion3 sweep, grouping is ~35% SLOWER per epoch
+# (5.34 vs 3.96 s) than the ungrouped fold-batched kernels. The zero blocks
+# triple the contraction FLOPs, and the gate-major regrouping transposes the
+# [F,B,T,3H] gate streams (hundreds of MB) on every layer/direction — both
+# cost more than the batched small matmuls they replace. Kept opt-in via
+# MMS_GRU_FOLD_GROUP>=2 with full parity tests.
 
-_GROUP = 4
+_GROUP = 1
 
 
 def _pick_group(f: int) -> int:
-    # MMS_GRU_FOLD_GROUP=1 disables grouping (A/B benching); >1 overrides
-    # the preferred group size.
+    # MMS_GRU_FOLD_GROUP=1 (default) disables grouping; >=2 enables it with
+    # that preferred group size.
     top = int(os.environ.get("MMS_GRU_FOLD_GROUP", _GROUP))
     if top <= 1:
         return 1
