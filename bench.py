@@ -175,7 +175,11 @@ def main() -> None:
     p.add_argument("--gru-impl", choices=("scan", "pallas", "pallas_fused"),
                    default="pallas",
                    help="fused Pallas GRU kernel (default) or lax.scan")
-    p.add_argument("--dtype", choices=("float32", "bfloat16"), default="float32")
+    # bf16 is the TPU-idiomatic default: +7% steps/s over f32 with measured
+    # LOSO accuracy parity on the benchmark corpus (benchmarks/RESULTS.md
+    # round 2; 81.52 +- 5.05 bf16 vs 81.64 +- 4.49 f32).
+    p.add_argument("--dtype", choices=("float32", "bfloat16"),
+                   default="bfloat16")
     args = p.parse_args()
 
     value = bench_jax(args.batch, args.channels, args.seq, args.steps,
