@@ -142,10 +142,29 @@ class Predictor:
             cols.append(resample_signal(sig, self.original_fs, self.target_fs))
         full = np.concatenate(cols, axis=1)  # [T', 8]
 
+        # Wrist-channel checkpoints (data/preprocess.py --include-wrist):
+        # append the wrist block on the chest grid, exactly as preprocessing
+        # does, with the same zero-fill fallback for chest-only recordings.
+        names = list(ALL_CHANNEL_NAMES)
+        if any(ch not in ALL_CHANNEL_NAMES for ch in self.cfg.channels_to_use):
+            from multimodalsignal_tpu.config import WRIST_CHANNEL_NAMES
+            from multimodalsignal_tpu.data.preprocess import _resample_wrist
+            from multimodalsignal_tpu.data.wesad_io import wrist_signals
+
+            wrist = wrist_signals(data)
+            if wrist is None:
+                print(f"Warning: {pkl_path} has no wrist data; "
+                      f"wrist channels filled with zeros.")
+                block = np.zeros((full.shape[0], len(WRIST_CHANNEL_NAMES)))
+            else:
+                block = _resample_wrist(wrist, self.target_fs, full.shape[0])
+            full = np.concatenate([full, block], axis=1)
+            names += list(WRIST_CHANNEL_NAMES)
+
         window_samples = self.window_sec * self.target_fs
         stride_samples = self.stride_sec * self.target_fs
         starts = window_starts(0, full.shape[0], window_samples, stride_samples)
-        ch_idx = [ALL_CHANNEL_NAMES.index(ch) for ch in self.cfg.channels_to_use]
+        ch_idx = [names.index(ch) for ch in self.cfg.channels_to_use]
         win = sliding_windows(full[:, ch_idx].astype(np.float32), starts,
                               window_samples)  # [N, T, C]
         # Per-recording normalization = the training scheme's per-subject

@@ -60,3 +60,31 @@ def test_predict_cli(trained_run, wesad_root, tmp_path):
     ])
     payload = json.loads(out.read_text())
     assert len(payload["windows"]) > 0
+
+
+def test_predict_wrist_channels(wesad_root):
+    """A wrist-channel checkpoint (data preprocessed with --include-wrist)
+    must serve: the Predictor assembles the wrist block on the chest grid
+    exactly like preprocessing (multi-rate resample, zero-fill fallback)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalsignal_tpu.models import build_model
+    from multimodalsignal_tpu.train.optim import make_optimizer
+    from multimodalsignal_tpu.train.trainer import init_train_state
+
+    cfg = ExperimentConfig(
+        channels_to_use=("chest_ECG", "wrist_BVP", "wrist_EDA"),
+        model=ModelConfig(cnn_out_channels=4, gru_hidden_size=4,
+                          gru_num_layers=1),
+    )
+    model = build_model(cfg.model, cfg.num_classes)
+    tx = make_optimizer(1e-3, 0.0)
+    sample = jnp.zeros((1, 3, 128 * 60), jnp.float32)
+    state = init_train_state(model, jax.random.PRNGKey(0), sample, tx)
+    predictor = Predictor(cfg, state)
+    x, starts = predictor.windows_from_recording(wesad_root / "S2" / "S2.pkl")
+    assert x.shape[1] == 3 and x.shape[2] == 128 * 60
+    assert np.isfinite(x).all()
+    probs = predictor.predict_windows(x[:4])
+    assert probs.shape == (4, 2)
