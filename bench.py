@@ -186,9 +186,13 @@ def main() -> None:
                       args.warmup, args.gru_impl, args.dtype)
     baseline = get_baseline(args.batch, args.channels, args.seq)
     vs = value / baseline if np.isfinite(baseline) and baseline > 0 else None
+    # vs_baseline compares this dtype's JAX run to the float32 torch-CPU
+    # reference step (the reference has no bf16 path); the dtype is named in
+    # the metric string so the ratio is never read as an f32-vs-f32 claim.
     print(json.dumps({
         "metric": "cnn_gru_attention train steps/sec/chip "
-                  f"(B={args.batch}, C={args.channels}, T={args.seq})",
+                  f"(B={args.batch}, C={args.channels}, T={args.seq}, "
+                  f"{args.dtype}; baseline torch-CPU float32)",
         "value": round(value, 3),
         "unit": "steps/sec/chip",
         "vs_baseline": round(vs, 3) if vs is not None else None,

@@ -150,6 +150,14 @@ class ExperimentConfig:
     # EDA log1p (reference dataset.py:37-48); "baseline" = stats from Base-only
     # windows with all-data fallback (reference void/dataset.py:30-55).
     normalization: str = "all"
+    # Hybrid (raw + handcrafted feature) experiment surface (reference
+    # void/dataset.py:72-198 rebuilt as models/hybrid.py): required when
+    # model.name == "hybrid_cnn_gru". raw_align_path points at the
+    # chest_raw_align target (windows padded to the feature count),
+    # feature_path at chest_feature; features_to_use=() selects all features.
+    raw_align_path: str = ""
+    feature_path: str = ""
+    features_to_use: tuple[str, ...] = ()
     # Fold execution: "serial" python loop (reference main.py:98) or "sharded"
     # — all folds as one vmapped computation over a `fold` mesh axis.
     fold_execution: str = "sharded"
@@ -175,6 +183,34 @@ class ExperimentConfig:
                 f"classification_mode={self.classification_mode!r} "
                 f"(expected {expected})"
             )
+
+
+def validate_experiment(cfg: "ExperimentConfig",
+                        fold_execution: str | None = None) -> None:
+    """Cross-field checks that span nested configs — these cannot live in
+    __post_init__ because dotted overrides apply one dataclasses.replace per
+    parent (model.name may legitimately arrive before raw_align_path).
+    Called after all overrides are applied (main.py) and at every run entry.
+
+    The hybrid model consumes (raw, feature) pairs; without both paths it
+    would crash deep inside the trainer (a raw-only WindowDataset fed to a
+    tuple-input model). Fail with guidance instead.
+    """
+    if cfg.model.name != "hybrid_cnn_gru":
+        return
+    if not (cfg.raw_align_path and cfg.feature_path):
+        raise ValueError(
+            "model.name='hybrid_cnn_gru' requires raw_align_path and "
+            "feature_path (the preprocess 'raw-align' and 'feature' "
+            "targets, e.g. --set raw_align_path=./data/chest_raw_align "
+            "--set feature_path=./data/chest_feature)"
+        )
+    if (fold_execution or cfg.fold_execution) == "sharded":
+        raise ValueError(
+            "model.name='hybrid_cnn_gru' currently runs serial-only "
+            "(PackedCorpus carries no feature stream); pass "
+            "--execution serial or --set fold_execution=serial"
+        )
 
 
 @dataclass(frozen=True)

@@ -19,9 +19,15 @@ from pathlib import Path
 
 import numpy as np
 
-from multimodalsignal_tpu.config import ExperimentConfig, config_to_dict, save_config
+from multimodalsignal_tpu.config import (
+    ExperimentConfig,
+    config_to_dict,
+    save_config,
+    validate_experiment,
+)
 from multimodalsignal_tpu.data.dataset import (
     build_dataset,
+    build_hybrid_dataset,
     read_channel_names,
     read_preprocess_meta,
 )
@@ -102,15 +108,46 @@ def run_simple_experiment(
     """Run the full LOSO sweep serially; returns (per-fold results, summary)."""
     run_output_dir = Path(run_output_dir)
     run_output_dir.mkdir(parents=True, exist_ok=True)
+    validate_experiment(cfg, fold_execution="serial")
+    hybrid = cfg.model.name == "hybrid_cnn_gru"
+    raw_path = cfg.raw_align_path if hybrid else cfg.data_path
     save_config(cfg, run_output_dir / "config.json",
-                extra={"preprocess_meta": read_preprocess_meta(cfg.data_path)})
+                extra={"preprocess_meta": read_preprocess_meta(raw_path)})
     if all_channel_names is None:
-        all_channel_names = read_channel_names(cfg.data_path)
+        all_channel_names = read_channel_names(raw_path)
 
     print("=" * 80)
     print(f"LOSO experiment (mode: {cfg.classification_mode}, "
-          f"folds: {len(cfg.subjects)}, execution: serial)")
+          f"folds: {len(cfg.subjects)}, execution: serial"
+          f"{', hybrid raw+feature' if hybrid else ''})")
     print("=" * 80)
+
+    if hybrid:
+        # Raw windows (the raw-align target, padded sample-for-sample to the
+        # feature count) fused with handcrafted features — the experiment the
+        # reference's dead tuple-batch machinery was built for
+        # (void/dataset.py:72-198, trainer.py:130-146).
+        def make_ds(subjects):
+            return build_hybrid_dataset(
+                raw_align_path=cfg.raw_align_path,
+                feature_path=cfg.feature_path,
+                subjects=subjects,
+                channels_to_use=list(cfg.channels_to_use),
+                all_channel_names=all_channel_names,
+                features_to_use=list(cfg.features_to_use) or None,
+                classification_mode=cfg.classification_mode,
+                normalization=cfg.normalization,
+            )
+    else:
+        def make_ds(subjects):
+            return build_dataset(
+                data_path=cfg.data_path,
+                subjects=subjects,
+                channels_to_use=list(cfg.channels_to_use),
+                all_channel_names=all_channel_names,
+                classification_mode=cfg.classification_mode,
+                normalization=cfg.normalization,
+            )
 
     results: list[FoldResult] = []
     for fold in loso_folds(cfg.subjects, cfg.val_fraction, cfg.seed):
@@ -119,16 +156,9 @@ def run_simple_experiment(
         fold_dir = run_output_dir / f"fold_test_on_{fold.test_subject}"
         fold_dir.mkdir(parents=True, exist_ok=True)
 
-        common = dict(
-            data_path=cfg.data_path,
-            channels_to_use=list(cfg.channels_to_use),
-            all_channel_names=all_channel_names,
-            classification_mode=cfg.classification_mode,
-            normalization=cfg.normalization,
-        )
-        train_ds = build_dataset(subjects=list(fold.train_subjects), **common)
-        val_ds = build_dataset(subjects=list(fold.val_subjects), **common)
-        test_ds = build_dataset(subjects=[fold.test_subject], **common)
+        train_ds = make_ds(list(fold.train_subjects))
+        val_ds = make_ds(list(fold.val_subjects))
+        test_ds = make_ds([fold.test_subject])
 
         class_weights = (
             balanced_class_weights(train_ds.y, cfg.num_classes)

@@ -104,7 +104,10 @@ def main(argv=None) -> None:
             run_hierarchical_experiment(cfg, run_dir)
         return
 
+    from multimodalsignal_tpu.config import validate_experiment
+
     execution = args.execution or cfg.fold_execution
+    validate_experiment(cfg, fold_execution=execution)
     if execution == "sharded":
         from multimodalsignal_tpu.parallel.fold_sweep import run_sharded_experiment
 

@@ -355,7 +355,7 @@ def _fb_fwd_kernel(xg_ref, whh_t_ref, bhh_ref, h0_ref, out_ref, h_scratch,
 
     @pl.when(i == 0)
     def _():
-        h_scratch[:] = h0_ref[:]
+        h_scratch[:] = h0_ref[:].astype(jnp.float32)
 
     chunk = (n_chunks - 1 - i) if reverse else i
     base = chunk * t_blk
@@ -363,8 +363,9 @@ def _fb_fwd_kernel(xg_ref, whh_t_ref, bhh_ref, h0_ref, out_ref, h_scratch,
     def one_step(t, h):
         valid = (base + t) < t_total
         xg = xg_ref[:, t]  # [F, B, 3H]
+        # bf16 mode: f32 carry, bf16 MXU operands (same as _fwd_kernel).
         hg = jax.lax.dot_general(
-            h, whh_t_ref[:], (((2,), (1,)), ((0,), (0,))),
+            h.astype(whh_t_ref.dtype), whh_t_ref[:], (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) + bhh_ref[:]
         xr, xz, xn = jnp.split(xg, 3, axis=-1)
@@ -374,7 +375,7 @@ def _fb_fwd_kernel(xg_ref, whh_t_ref, bhh_ref, h0_ref, out_ref, h_scratch,
         n = jnp.tanh(xn + r * hn)
         h_new = (1.0 - z) * n + z * h
         h_new = jnp.where(valid, h_new, h)
-        out_ref[:, t] = h_new
+        out_ref[:, t] = h_new.astype(out_ref.dtype)
         return h_new
 
     # t_blk is tiny (the fold axis multiplies the VMEM working set), so the
@@ -392,7 +393,8 @@ def _gru_forward_fb(xg_fb, w_hh, b_hh, h0, reverse: bool):
     -> ys [F, T, B, H]."""
     f, t_total, batch, three_h = xg_fb.shape
     hidden = three_h // 3
-    t_blk = _fb_t_blk(f * batch * (three_h + hidden) * 4, t_total)
+    dt = xg_fb.dtype  # f32, or bf16 (halved pipeline traffic)
+    t_blk = _fb_t_blk(f * batch * (three_h + hidden) * dt.itemsize, t_total)
     n_chunks = pl.cdiv(t_total, t_blk)
     whh_t = jnp.swapaxes(w_hh, 1, 2)  # [F, H, 3H]
     bhh = jnp.broadcast_to(b_hh[:, None, :], (f, batch, three_h))
@@ -415,7 +417,7 @@ def _gru_forward_fb(xg_fb, w_hh, b_hh, h0, reverse: bool):
         ],
         out_specs=pl.BlockSpec((f, t_blk, batch, hidden), cmap,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((f, t_total, batch, hidden), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((f, t_total, batch, hidden), dt),
         scratch_shapes=[pltpu.VMEM((f, batch, hidden), jnp.float32)],
         interpret=_interpret(),
     )(xg_fb, whh_t, bhh, h0)
@@ -440,7 +442,9 @@ def _fb_bwd_kernel(dy_ref, hprev_ref, xg_ref, whh_t_ref, bhh_ref,
 
     def one_step(t, dh):
         valid = (base + t) < t_total
-        h_prev = jnp.where(valid, hprev_ref[:, t], 0.0)  # [F, B, H]
+        # Mask the state itself (NaN/garbage padded reads poison dW).
+        h_prev = jnp.where(valid, hprev_ref[:, t],
+                           jnp.zeros((), hprev_ref.dtype))  # [F, B, H]
         xg = xg_ref[:, t]
         hg = jax.lax.dot_general(
             h_prev, whh_t_ref[:], (((2,), (1,)), ((0,), (0,))),
@@ -464,16 +468,18 @@ def _fb_bwd_kernel(dy_ref, hprev_ref, xg_ref, whh_t_ref, bhh_ref,
         dgates_x = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
 
         zero = jnp.zeros_like(dgates_x)
-        dxg_ref[:, t] = jnp.where(valid, dgates_x, zero)
+        dxg_ref[:, t] = jnp.where(valid, dgates_x, zero).astype(dxg_ref.dtype)
         dgates_h = jnp.where(valid, dgates_h, zero)
 
+        # bf16 mode: bf16 MXU operands, f32 accumulators (dw/db scratch).
+        dg_lo = dgates_h.astype(whh_t_ref.dtype)
         dw_scratch[:] += jax.lax.dot_general(
-            h_prev, dgates_h, (((1,), (1,)), ((0,), (0,))),
+            h_prev, dg_lo, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [F, H, 3H]
         db_scratch[:] += jnp.sum(dgates_h, axis=1)
         dh_prev = dht * z + jax.lax.dot_general(
-            dgates_h, whh_t_ref[:], (((2,), (2,)), ((0,), (0,))),
+            dg_lo, whh_t_ref[:], (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [F, B, H]
         return jnp.where(valid, dh_prev, dh)
@@ -491,15 +497,17 @@ def _fb_bwd_kernel(dy_ref, hprev_ref, xg_ref, whh_t_ref, bhh_ref,
 def _gru_backward_fb(xg_fb, w_hh, b_hh, h0, ys, dy, reverse: bool):
     f, t_total, batch, three_h = xg_fb.shape
     hidden = three_h // 3
-    t_blk = _fb_t_blk(f * batch * (2 * hidden + 2 * three_h) * 4, t_total)
+    dt = xg_fb.dtype
+    t_blk = _fb_t_blk(f * batch * (2 * hidden + 2 * three_h) * dt.itemsize,
+                      t_total)
     n_chunks = pl.cdiv(t_total, t_blk)
     whh_t = jnp.swapaxes(w_hh, 1, 2)
     bhh = jnp.broadcast_to(b_hh[:, None, :], (f, batch, three_h))
 
     if reverse:
-        h_prev = jnp.concatenate([ys[:, 1:], h0[:, None]], axis=1)
+        h_prev = jnp.concatenate([ys[:, 1:], h0[:, None].astype(dt)], axis=1)
     else:
-        h_prev = jnp.concatenate([h0[:, None], ys[:, :-1]], axis=1)
+        h_prev = jnp.concatenate([h0[:, None].astype(dt), ys[:, :-1]], axis=1)
 
     def adj(i):
         return (0, i if reverse else (n_chunks - 1 - i), 0, 0)
@@ -525,7 +533,7 @@ def _gru_backward_fb(xg_fb, w_hh, b_hh, h0, ys, dy, reverse: bool):
             pl.BlockSpec((f, batch, hidden), rep3, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((f, t_total, batch, three_h), jnp.float32),
+            jax.ShapeDtypeStruct((f, t_total, batch, three_h), dt),
             jax.ShapeDtypeStruct((f, hidden, three_h), jnp.float32),
             jax.ShapeDtypeStruct((f, three_h), jnp.float32),
             jax.ShapeDtypeStruct((f, batch, hidden), jnp.float32),
@@ -649,25 +657,23 @@ def _make_fwd_cv(reverse: bool):
         xg, w_hh, b_hh, h0 = _broadcast_unbatched(
             (xg, w_hh, b_hh, h0), in_batched, axis_size
         )
-        # The fold-batched kernels are f32-only (the sweep's compute dtype);
-        # route bf16 vmapped calls through f32 and cast back.
+        g = _pick_group(axis_size)
+        if g == 1:
+            # The fb kernels are dtype-generic: bf16 streams/MXU operands
+            # with an f32 carry, same mode as the single-fold kernels.
+            return _gru_forward_fb(xg, w_hh, b_hh, h0, reverse), True
+        # The grouped path (opt-in, measured negative result) stays f32:
+        # block-diagonal packing in bf16 is not worth a separate mode.
         dt = xg.dtype
         if dt != jnp.float32:
             xg, w_hh, b_hh, h0 = (a.astype(jnp.float32)
                                   for a in (xg, w_hh, b_hh, h0))
-            return _rule_f32(axis_size, xg, w_hh, b_hh, h0).astype(dt), True
-        return _rule_f32(axis_size, xg, w_hh, b_hh, h0), True
-
-    def _rule_f32(axis_size, xg, w_hh, b_hh, h0):
-        g = _pick_group(axis_size)
-        if g == 1:
-            return _gru_forward_fb(xg, w_hh, b_hh, h0, reverse)
         fg = axis_size // g
         ys_g = _gru_forward_fb(
             _group_cols(xg, fg, g), _blockdiag_w(w_hh, fg, g),
             _group_cols(b_hh, fg, g), _group_h(h0, fg, g), reverse,
         )
-        return _ungroup_h(ys_g, fg, g)
+        return _ungroup_h(ys_g, fg, g).astype(dt), True
 
     return fwd
 
@@ -683,16 +689,20 @@ def _make_bwd_cv(reverse: bool):
             (xg, w_hh, b_hh, h0, ys, dy), in_batched, axis_size
         )
         dts = tuple(a.dtype for a in args[:4])
-        if any(dt != jnp.float32 for dt in dts):
-            args = tuple(a.astype(jnp.float32) for a in args)
-        grads = _rule_f32(axis_size, *args)
+        g = _pick_group(axis_size)
+        if g == 1:
+            # Dtype-generic fb kernel: bf16 streams/MXU operands, f32 dW/db
+            # accumulators; cotangents cast back to the primal dtypes.
+            grads = _gru_backward_fb(*args, reverse)
+        else:
+            # Grouped opt-in path stays f32 (see the fwd rule).
+            if any(dt != jnp.float32 for dt in dts):
+                args = tuple(a.astype(jnp.float32) for a in args)
+            grads = _rule_grouped(axis_size, g, *args)
         grads = tuple(g_.astype(dt) for g_, dt in zip(grads, dts))
         return grads, (True, True, True, True)
 
-    def _rule_f32(axis_size, xg, w_hh, b_hh, h0, ys, dy):
-        g = _pick_group(axis_size)
-        if g == 1:
-            return _gru_backward_fb(xg, w_hh, b_hh, h0, ys, dy, reverse)
+    def _rule_grouped(axis_size, g, xg, w_hh, b_hh, h0, ys, dy):
         fg = axis_size // g
         dxg_g, dwbd, dbhh_g, dh0_g = _gru_backward_fb(
             _group_cols(xg, fg, g), _blockdiag_w(w_hh, fg, g),

@@ -31,7 +31,7 @@ def enable_compilation_cache(cache_dir: Path | str | None = None) -> None:
     Path(path).mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     # Default thresholds skip small-but-slow-to-compile entries; cache all.
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 

@@ -53,6 +53,7 @@ def test_wrist_channel_contract(wrist_preprocessed):
     assert bvp.std() > 0.1
 
 
+@pytest.mark.slow
 def test_train_on_wrist_channels(wrist_preprocessed, tmp_path):
     """6-channel early fusion incl. wrist (BASELINE.json config 2 style)."""
     from multimodalsignal_tpu.experiments.loso import run_simple_experiment
