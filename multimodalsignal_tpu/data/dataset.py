@@ -366,7 +366,8 @@ def _pack_subject_fused(data_path, sid, channel_indices, channels_to_use,
         x_file = data_path / f"{sid}_X.npy"
         y_file = data_path / f"{sid}_y.npy"
         if not x_file.exists() or not y_file.exists():
-            print(f"Warning: Skipping subject {sid} for data, file not found.")
+            # load_subject_windows prints the skip warning on the fallback
+            # path; staying silent here avoids a duplicate message.
             return None
         x_raw = np.load(x_file, mmap_mode="r")
         if x_raw.dtype != np.float32 or x_raw.ndim != 3:
@@ -400,30 +401,47 @@ def pack_corpus(
     all_channel_names: list[str],
     classification_mode: str = "stress_binary",
     normalization: str = "all",
+    workers: int | None = None,
 ) -> PackedCorpus:
     """Load + normalize every subject once and pad to [S, Wmax, C, T].
 
     Normalization is strictly per subject (reference dataset.py:37-48), so
     stats never leak across folds — one packed corpus serves all LOSO folds.
+
+    Subjects pack in a thread pool: the native fused pack
+    (native.pack_subject_f32) releases the GIL and the NumPy path is
+    BLAS/IO-bound, so staging scales with host cores (half the single-chip
+    end-to-end wall was serial pack — benchmarks/RESULTS.md). Results are
+    order-deterministic regardless of worker count.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     channel_indices = [all_channel_names.index(ch) for ch in channels_to_use]
-    per_subject = []
-    for sid in subjects:
+
+    def pack_one(sid):
         fused = _pack_subject_fused(
             data_path, sid, channel_indices, channels_to_use,
             classification_mode, normalization,
         )
         if fused is not None:
-            per_subject.append(fused)
-            continue
+            return fused
         item = load_subject_windows(data_path, sid)
         if item is None:
-            continue
+            return None
         x_raw, y_raw = item
         x_sel = x_raw[:, :, channel_indices]
         y, keep = map_labels(y_raw, classification_mode)
         x_norm = normalize_subject(x_sel, y_raw, channels_to_use, normalization)
-        per_subject.append((sid, x_norm[keep].transpose(0, 2, 1), y[keep]))
+        return sid, x_norm[keep].transpose(0, 2, 1), y[keep]
+
+    if workers is None:
+        workers = min(8, len(subjects))
+    if workers > 1 and len(subjects) > 1:
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            packed = list(ex.map(pack_one, subjects))  # order-preserving
+    else:
+        packed = [pack_one(sid) for sid in subjects]
+    per_subject = [p for p in packed if p is not None]
     if not per_subject:
         raise ValueError(f"No data loaded for subjects: {subjects}.")
     wmax = max(x.shape[0] for _, x, _ in per_subject)

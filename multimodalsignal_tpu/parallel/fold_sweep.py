@@ -654,7 +654,10 @@ def run_sharded_experiment(
     """End-to-end sharded LOSOCV: pack corpus -> sweep -> reference artifacts
     (per-fold training logs, cv_summary.txt). Drop-in replacement for
     experiments.loso.run_simple_experiment."""
+    from multimodalsignal_tpu.config import validate_experiment
+
     t0 = time.time()
+    validate_experiment(cfg, fold_execution="sharded")
     run_output_dir = Path(run_output_dir)
     run_output_dir.mkdir(parents=True, exist_ok=True)
     save_config(cfg, run_output_dir / "config.json",
@@ -686,25 +689,45 @@ def run_sharded_experiment(
             jax.profiler.stop_trace()
             print(f"Profiler trace written to: {profile_dir}")
 
+    # Finalize: ONE bulk device->host transfer of every stacked output
+    # (per-fold slicing of device arrays costs a transfer per access — the
+    # old per-fold loop was ~90 s of the 402 s single-chip wall,
+    # benchmarks/RESULTS.md), then artifact writes fan out on a thread pool.
+    host = jax.device_get({
+        "cm": result.test_cm, "loss": result.test_loss,
+        "stop": result.stop_epoch, "best": result.best_epoch,
+        "hist": result.history,
+        "params": result.final_params, "bs": result.final_batch_stats,
+        "probs": result.test_probs,
+    })
+
     results: list[FoldResult] = []
     for i, subject in enumerate(fb.test_subjects):
-        cm = jnp.asarray(result.test_cm[i])
+        cm = host["cm"][i]
         acc = float(M.accuracy_from_cm(cm))
         f1 = float(M.weighted_f1_from_cm(cm))
-        epochs_run = int(result.stop_epoch[i])
         results.append(FoldResult(
             subject=subject, accuracy=acc, f1_score=f1,
-            test_loss=float(result.test_loss[i]),
-            best_epoch=int(result.best_epoch[i]) + 1,
-            epochs_run=epochs_run,
+            test_loss=float(host["loss"][i]),
+            best_epoch=int(host["best"][i]) + 1,
+            epochs_run=int(host["stop"][i]),
         ))
+
+    def write_fold_artifacts(i_subject):
+        i, subject = i_subject
+        r = results[i]
         fold_dir = run_output_dir / f"fold_test_on_{subject}"
-        _write_fold_log(fold_dir, result, i, epochs_run, acc, f1)
-        _export_fold_checkpoint(fold_dir, result, i, cfg)
-        if result.test_probs is not None:
-            fold_dir.mkdir(parents=True, exist_ok=True)
+        _write_fold_log(fold_dir, host["hist"], host["loss"], i,
+                        r.epochs_run, r.best_epoch, r.accuracy, r.f1_score)
+        _export_fold_checkpoint(fold_dir, host["params"], host["bs"], i, cfg)
+        if host["probs"] is not None:
             np.save(fold_dir / "test_probs.npy",
-                    np.asarray(result.test_probs[i])[: int(fb.n_test[i])])
+                    host["probs"][i][: int(fb.n_test[i])])
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(write_fold_artifacts, enumerate(fb.test_subjects)))
 
     summary = write_cv_summary(run_output_dir / "cv_summary.txt", cfg, results)
     summary["sweep_wall_s"] = time.time() - t0
@@ -716,32 +739,33 @@ def run_sharded_experiment(
     return results, summary
 
 
-def _export_fold_checkpoint(fold_dir: Path, result: SweepResult, i: int,
-                            cfg: ExperimentConfig) -> None:
+def _export_fold_checkpoint(fold_dir: Path, host_params, host_batch_stats,
+                            i: int, cfg: ExperimentConfig) -> None:
     """Write this fold's best-restored state as best_model.msgpack — the
     serial trainer's checkpoint contract (reference trainer.py:38-39), so
-    Predictor.from_run works on sharded runs too."""
-    if result.final_params is None:
+    Predictor.from_run works on sharded runs too. Takes HOST pytrees (the
+    caller bulk-transfers the stacked states once for all folds)."""
+    if host_params is None:
         return
     from multimodalsignal_tpu.train.checkpoints import save_state
     from multimodalsignal_tpu.train.optim import make_optimizer
 
-    params = jax.tree_util.tree_map(lambda a: np.asarray(a[i]),
-                                    result.final_params)
-    batch_stats = jax.tree_util.tree_map(lambda a: np.asarray(a[i]),
-                                         result.final_batch_stats)
+    params = jax.tree_util.tree_map(lambda a: a[i], host_params)
+    batch_stats = jax.tree_util.tree_map(lambda a: a[i], host_batch_stats)
     tx = make_optimizer(cfg.trainer.learning_rate, cfg.trainer.weight_decay)
     state = TrainState(params=params, batch_stats=batch_stats,
                        opt_state=tx.init(params))
     save_state(fold_dir / "best_model.msgpack", state)
 
 
-def _write_fold_log(fold_dir: Path, result: SweepResult, i: int,
-                    epochs_run: int, acc: float, f1: float) -> None:
+def _write_fold_log(fold_dir: Path, h: SweepHistory, test_loss, i: int,
+                    epochs_run: int, best_epoch: int, acc: float,
+                    f1: float) -> None:
     """Per-fold training_log.txt reconstructed from the sweep's stacked
-    history (the artifact contract of reference trainer.py:113-117)."""
+    history (the artifact contract of reference trainer.py:113-117). Takes
+    the HOST history (bulk-transferred once; per-scalar indexing of device
+    arrays costs a transfer each)."""
     fold_dir.mkdir(parents=True, exist_ok=True)
-    h = result.history
     lines = [f"Training log (sharded sweep fold {i})", "=" * 50]
     for e in range(epochs_run):
         lines.append(
@@ -750,10 +774,10 @@ def _write_fold_log(fold_dir: Path, result: SweepResult, i: int,
             f"val acc: {h.val_acc[i, e]:.4f} | val F1: {h.val_f1[i, e]:.4f} | "
             f"lr: {h.lr[i, e]:.2e}"
         )
-    lines.append(f"Best epoch: {int(result.best_epoch[i]) + 1}")
+    lines.append(f"Best epoch: {best_epoch}")
     lines.append("--- Final test results ---")
     lines.append(
-        f"test loss: {result.test_loss[i]:.4f} | test acc: {acc:.4f} | "
+        f"test loss: {test_loss[i]:.4f} | test acc: {acc:.4f} | "
         f"test F1: {f1:.4f}"
     )
     (fold_dir / "training_log.txt").write_text("\n".join(lines) + "\n")
