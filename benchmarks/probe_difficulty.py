@@ -33,6 +33,7 @@ from multimodalsignal_tpu.config import (
 from multimodalsignal_tpu.data.dataset import map_labels, normalize_subject
 from multimodalsignal_tpu.data.preprocess import preprocess_subject
 from multimodalsignal_tpu.data.synthetic import (
+    BENCHMARK_HARDNESS,
     BENCHMARK_TASKS,
     Hardness,
     write_synthetic_wesad,
@@ -74,6 +75,7 @@ def build(scale: float, seed: int, hardness: Hardness, channels, mode: str):
             X = X[:, :, ch_idx]
             Xn = normalize_subject(X, y_raw, list(channels), scheme="all")
             y, keep = map_labels(y_raw, mode)
+            y = y[keep]
             per_subject[sid] = (window_stats(Xn[keep]), y)
             print(f"  {sid}: {len(y)} windows  ({time.time() - t0:.1f}s)",
                   flush=True)
@@ -106,13 +108,19 @@ def main() -> None:
     p.add_argument("--channels", nargs="*", default=list(FUSION6))
     p.add_argument("--set", nargs="*", default=[], metavar="K=V",
                    help="Hardness field overrides, e.g. drift=1.2")
+    p.add_argument("--benchmark", action="store_true",
+                   help="start from BENCHMARK_HARDNESS (the published corpus "
+                        "calibration) instead of Hardness() defaults")
     args = p.parse_args()
+
+    import dataclasses
 
     overrides = {}
     for kv in args.set:
         k, v = kv.split("=", 1)
         overrides[k] = float(v)
-    hardness = Hardness(**overrides)
+    base = BENCHMARK_HARDNESS if args.benchmark else Hardness()
+    hardness = dataclasses.replace(base, **overrides)
     print(f"Hardness: {hardness}")
 
     per_subject = build(args.scale, args.seed, hardness,

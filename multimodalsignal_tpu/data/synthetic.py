@@ -261,6 +261,17 @@ class Hardness:
     channel_dropout_prob: float = 0.10
     # Broadband measurement-noise multiplier.
     noise: float = 2.0
+    # Amusement signature: laughter episodes during Fun — phasic EMG bursts
+    # with a coupled fast respiration oscillation (real-WESAD amusement shows
+    # somatic EMG activity and laughter-modulated breathing). PHASIC
+    # within-window structure, so the tonic OU drift that drowns the Fun
+    # *mean* shifts (drift=2.2 calibration) does not touch it — this is the
+    # honest mechanism that gives the hierarchical M2 stage (Fun vs Base,
+    # reference main.py:159-247) learnable signal. Rate is episodes/min of
+    # Fun time; 0 disables (and leaves every other stream bit-identical —
+    # laughter draws from its own child RNG).
+    fun_laughter_rate_per_min: float = 0.0
+    fun_laughter_strength: float = 1.0
 
 
 # The benchmark-corpus calibration (benchmarks/BENCHMARK.md): every core
@@ -347,6 +358,38 @@ def _apply_artifacts(sig: np.ndarray, fs: float, rng: np.random.Generator,
         elif kind == "flatline":
             sig[seg] = mu - rng.uniform(2.0, 4.0) * sd
     return sig
+
+
+def _apply_laughter(emg_seg: np.ndarray, resp_seg: np.ndarray, fs: float,
+                    rng: np.random.Generator, hard: "Hardness") -> None:
+    """Superimpose laughter episodes on a Fun segment, in place.
+
+    Each episode (3-8 s) is a train of ~4.5 Hz expiratory pulses: the EMG
+    amplitude multiplies up strongly (somatic bursts) and the respiration
+    trace gains a fast low-amplitude oscillation under a smooth envelope.
+    Within-window (phasic) structure only — segment means barely move, so
+    stress-task calibration is untouched."""
+    n = len(emg_seg)
+    dur_min = n / fs / 60.0
+    n_events = rng.poisson(hard.fun_laughter_rate_per_min * dur_min)
+    s = hard.fun_laughter_strength
+    emg_sd = float(np.std(emg_seg)) + 1e-9
+    for _ in range(n_events):
+        length = int(rng.uniform(3.0, 8.0) * fs)
+        start = int(rng.integers(0, max(n - length, 1)))
+        span = slice(start, start + length)
+        m = len(emg_seg[span])
+        if m == 0:
+            continue
+        # Smooth raised-cosine envelope over the episode.
+        env = 0.5 * (1.0 - np.cos(2 * np.pi * np.arange(m) / m))
+        pulse_hz = rng.uniform(4.0, 5.5)
+        phase = 2 * np.pi * pulse_hz * np.arange(m) / fs + rng.uniform(0, 6.28)
+        # EMG: burst noise amplitude-modulated at the laugh pulse rate.
+        am = env * (0.6 + 0.4 * np.sin(phase)) ** 2
+        emg_seg[span] += 4.0 * s * emg_sd * am * rng.standard_normal(m)
+        # Resp: fast oscillation rides the breathing trace.
+        resp_seg[span] += 0.45 * s * env * np.sin(phase)
 
 
 def _apply_dropout(sig: np.ndarray, rng: np.random.Generator,
@@ -477,6 +520,19 @@ def synthesize_subject_hard(
             + 0.01 * rng.standard_normal(n700))
     acc = ((0.05 + 0.25 * motion700)[:, None] * rng.standard_normal((n700, 3))
            + np.array([0.0, 0.0, 1.0]))
+
+    # --- amusement signature (laughter) ------------------------------------
+    # Child RNG keeps every other stream bit-identical whether or not the
+    # knob is on; see Hardness.fun_laughter_rate_per_min.
+    if hard.fun_laughter_rate_per_min > 0:
+        rng_laugh = np.random.default_rng((seed ^ 0x1AA9) & 0x7FFFFFFF)
+        cursor700 = 0
+        for (task, _dur), n7 in zip(tasks, seg_n700):
+            if task.replace(" ", "").strip() == "Fun":
+                _apply_laughter(emg[cursor700:cursor700 + n7],
+                                resp[cursor700:cursor700 + n7],
+                                fs, rng_laugh, hard)
+            cursor700 += n7
 
     # --- artifacts + dropout ----------------------------------------------
     ecg = _apply_artifacts(ecg, fs, rng, hard, ("noise", "rail_high"))

@@ -79,6 +79,43 @@ def test_hard_generator_layout_and_determinism():
     assert not np.array_equal(chest[b"ECG"], d3[b"signal"][b"chest"][b"ECG"])
 
 
+def test_laughter_knob_isolated_to_fun_emg_resp():
+    """fun_laughter_rate_per_min adds PHASIC amusement signal during Fun
+    only, touching only EMG and Resp; every other stream must stay
+    bit-identical (child-RNG guarantee, synthetic.py), so existing benchmark
+    calibrations survive the knob."""
+    from multimodalsignal_tpu.data.synthetic import (
+        Hardness, synthesize_subject_hard,
+    )
+
+    base = Hardness(artifact_rate_per_min=0.0, channel_dropout_prob=0.0)
+    loud = Hardness(artifact_rate_per_min=0.0, channel_dropout_prob=0.0,
+                    fun_laughter_rate_per_min=8.0, fun_laughter_strength=1.5)
+    d0, _ = synthesize_subject_hard("S2", tasks=HARD_TASKS, seed=5,
+                                    hardness=base)
+    d1, _ = synthesize_subject_hard("S2", tasks=HARD_TASKS, seed=5,
+                                    hardness=loud)
+    c0, c1 = d0[b"signal"][b"chest"], d1[b"signal"][b"chest"]
+    for key in (b"ECG", b"EDA", b"Temp", b"ACC"):
+        np.testing.assert_array_equal(c0[key], c1[key])
+    for key in (b"BVP", b"EDA", b"ACC"):
+        np.testing.assert_array_equal(
+            d0[b"signal"][b"wrist"][key], d1[b"signal"][b"wrist"][key])
+
+    # Fun is the last 0.5 min (HARD_TASKS); Base/TSST spans are untouched.
+    fs = 700
+    fun_start = int(1.5 * 60 * fs)
+    np.testing.assert_array_equal(c0[b"EMG"][:fun_start], c1[b"EMG"][:fun_start])
+    np.testing.assert_array_equal(c0[b"Resp"][:fun_start], c1[b"Resp"][:fun_start])
+    # And the Fun span carries extra phasic energy in both channels.
+    emg0, emg1 = c0[b"EMG"][fun_start:], c1[b"EMG"][fun_start:]
+    resp0, resp1 = c0[b"Resp"][fun_start:], c1[b"Resp"][fun_start:]
+    assert emg1.std() > 1.2 * emg0.std()
+    assert np.abs(resp1 - resp0).max() > 0.2
+    # Phasic, not tonic: the Fun-segment mean barely moves.
+    assert abs(float(resp1.mean() - resp0.mean())) < 0.05
+
+
 def test_hard_corpus_preprocessable(tmp_path):
     """End-to-end loadability: hard pickles flow through the real
     preprocessing (wrist included) and yield both stress and non-stress
