@@ -288,6 +288,15 @@ BENCHMARK_HARDNESS = Hardness(
     strong_response=(0.35, 0.6),
     drift=2.2,
     channel_dropout_prob=0.10,
+    # Amusement signature calibration (round 3): with the Fun *mean* shifts
+    # deliberately drowned by the drift above, M2 (Fun vs Base) was at its
+    # majority floor. Laughter episodes give it phasic signal: host-probe
+    # LOSO (window stats + GBT, scale 0.5, M2 channels + chest_EMG) measures
+    # 0.885 +- 0.154 vs a 0.785 floor at these knobs (0.682 with the knob
+    # off, i.e. below floor). Stress-task calibration is untouched: only
+    # Fun-segment EMG/Resp change (child-RNG isolation, test-enforced).
+    fun_laughter_rate_per_min=6.0,
+    fun_laughter_strength=2.5,
 )
 
 

@@ -127,7 +127,7 @@ def run_simple_experiment(
         # feature count) fused with handcrafted features — the experiment the
         # reference's dead tuple-batch machinery was built for
         # (void/dataset.py:72-198, trainer.py:130-146).
-        def make_ds(subjects):
+        def build_one(subjects):
             return build_hybrid_dataset(
                 raw_align_path=cfg.raw_align_path,
                 feature_path=cfg.feature_path,
@@ -139,7 +139,7 @@ def run_simple_experiment(
                 normalization=cfg.normalization,
             )
     else:
-        def make_ds(subjects):
+        def build_one(subjects):
             return build_dataset(
                 data_path=cfg.data_path,
                 subjects=subjects,
@@ -148,6 +148,45 @@ def run_simple_experiment(
                 classification_mode=cfg.classification_mode,
                 normalization=cfg.normalization,
             )
+
+    # Normalization is strictly per subject (reference dataset.py:37-48), so
+    # each subject loads + normalizes ONCE and folds assemble by
+    # concatenation — the old per-fold rebuild re-staged every subject ~15x
+    # per sweep. Concatenation order matches build_dataset's subject order.
+    _cache: dict[str, object] = {}
+
+    def _cached(sid: str):
+        if sid not in _cache:
+            try:
+                _cache[sid] = build_one([sid])
+            except ValueError:  # missing subject files (loader warned)
+                _cache[sid] = None
+        return _cache[sid]
+
+    def make_ds(subjects):
+        parts = [p for p in (_cached(s) for s in subjects) if p is not None]
+        if not parts:
+            raise ValueError(f"No data loaded for subjects: {subjects}.")
+        if len(parts) == 1:
+            return parts[0]
+        from multimodalsignal_tpu.data.dataset import (
+            HybridWindowDataset,
+            WindowDataset,
+        )
+
+        subs = tuple(s for p in parts for s in p.subjects)
+        if hybrid:
+            return HybridWindowDataset(
+                x_raw=np.concatenate([p.x_raw for p in parts]),
+                x_feat=np.concatenate([p.x_feat for p in parts]),
+                y=np.concatenate([p.y for p in parts]),
+                subjects=subs,
+            )
+        return WindowDataset(
+            x=np.concatenate([p.x for p in parts]),
+            y=np.concatenate([p.y for p in parts]),
+            subjects=subs,
+        )
 
     results: list[FoldResult] = []
     for fold in loso_folds(cfg.subjects, cfg.val_fraction, cfg.seed):

@@ -126,6 +126,24 @@ def test_build_dataset_missing_subject_skipped(preprocessed):  # noqa: F811
         build_dataset(preprocessed / "chest_raw", ["S98", "S99"], ["chest_ECG"], names)
 
 
+def test_multi_subject_build_is_concat_of_singles(preprocessed):  # noqa: F811
+    """Per-subject normalization means a multi-subject dataset is exactly the
+    concatenation of single-subject datasets in order — the invariant behind
+    the serial orchestrator's per-subject staging cache (experiments/loso.py),
+    which loads each subject once instead of ~15x across folds."""
+    names = read_channel_names(preprocessed / "chest_raw")
+    chans = ["chest_ECG", "chest_EDA"]
+    multi = build_dataset(preprocessed / "chest_raw", ["S2", "S3", "S4"],
+                          chans, names)
+    singles = [build_dataset(preprocessed / "chest_raw", [s], chans, names)
+               for s in ("S2", "S3", "S4")]
+    np.testing.assert_array_equal(
+        multi.x, np.concatenate([p.x for p in singles]))
+    np.testing.assert_array_equal(
+        multi.y, np.concatenate([p.y for p in singles]))
+    assert multi.subjects == ("S2", "S3", "S4")
+
+
 def test_pack_corpus_padding_and_flat(preprocessed):  # noqa: F811
     names = read_channel_names(preprocessed / "chest_raw")
     packed = pack_corpus(
