@@ -205,12 +205,6 @@ def validate_experiment(cfg: "ExperimentConfig",
             "targets, e.g. --set raw_align_path=./data/chest_raw_align "
             "--set feature_path=./data/chest_feature)"
         )
-    if (fold_execution or cfg.fold_execution) == "sharded":
-        raise ValueError(
-            "model.name='hybrid_cnn_gru' currently runs serial-only "
-            "(PackedCorpus carries no feature stream); pass "
-            "--execution serial or --set fold_execution=serial"
-        )
 
 
 @dataclass(frozen=True)

@@ -20,6 +20,7 @@ padding masks for ragged per-subject window counts.
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -325,12 +326,16 @@ class PackedCorpus:
     x    [S, Wmax, C, T] float32, normalized per subject
     y    [S, Wmax] int32 (mapped labels; padded rows hold 0)
     mask [S, Wmax] bool (True = real window surviving the mode's keep filter)
+    feat [S, Wmax, F] float32 handcrafted features aligned window-for-window
+         with x, or None for raw-only corpora (hybrid sweeps only —
+         pack_hybrid_corpus)
     """
 
     x: np.ndarray
     y: np.ndarray
     mask: np.ndarray
     subjects: tuple[str, ...]
+    feat: np.ndarray | None = None
 
     @property
     def num_subjects(self) -> int:
@@ -345,6 +350,13 @@ class PackedCorpus:
             self.y.reshape(s * wmax),
             self.mask.reshape(s * wmax),
         )
+
+    def flat_feat(self) -> np.ndarray | None:
+        """Flattened [S*Wmax, F] feature view (same indexing as flat())."""
+        if self.feat is None:
+            return None
+        s, wmax = self.feat.shape[:2]
+        return self.feat.reshape(s * wmax, self.feat.shape[2])
 
 
 def _pack_subject_fused(data_path, sid, channel_indices, channels_to_use,
@@ -458,3 +470,55 @@ def pack_corpus(
         mask[i, :n] = True
         sids.append(sid)
     return PackedCorpus(x_out, y_out, mask, tuple(sids))
+
+
+def pack_hybrid_corpus(
+    raw_align_path: Path | str,
+    feature_path: Path | str,
+    subjects: list[str],
+    channels_to_use: list[str],
+    all_channel_names: list[str],
+    features_to_use: list[str] | None = None,
+    classification_mode: str = "stress_binary",
+    normalization: str = "all",
+    workers: int | None = None,
+) -> PackedCorpus:
+    """pack_corpus over the raw-align target, plus the aligned handcrafted
+    feature stream — the sharded-sweep form of build_hybrid_dataset (reference
+    void/dataset.py:72-198). The reference's invariants are enforced per
+    subject: raw-align and feature window counts and mapped labels must agree
+    exactly (void/dataset.py:182-186), so pool indices address both streams.
+    """
+    corpus = pack_corpus(
+        raw_align_path, subjects, channels_to_use, all_channel_names,
+        classification_mode, normalization, workers,
+    )
+    all_feature_names = read_feature_names(feature_path)
+    feat_idx = (
+        [all_feature_names.index(f) for f in features_to_use]
+        if features_to_use
+        else list(range(len(all_feature_names)))
+    )
+    feat_scheme = "baseline" if normalization == "baseline" else normalization
+    s, wmax = corpus.y.shape
+    feat_out = np.zeros((s, wmax, len(feat_idx)), dtype=np.float32)
+    for i, sid in enumerate(corpus.subjects):
+        item = load_subject_windows(feature_path, sid)
+        if item is None:
+            raise ValueError(
+                f"Subject {sid} has raw-align data but no feature files "
+                f"under {feature_path}."
+            )
+        x_feat, y_feat_raw = item
+        y_feat, keep = map_labels(y_feat_raw, classification_mode)
+        xf = normalize_features(x_feat[:, feat_idx], y_feat_raw, feat_scheme)
+        xf, yk = xf[keep], y_feat[keep]
+        n = int(corpus.mask[i].sum())
+        if len(yk) != n or not np.array_equal(yk, corpus.y[i, :n]):
+            raise ValueError(
+                f"raw-align vs feature streams disagree for {sid}: "
+                f"{n} raw windows vs {len(yk)} feature windows (or labels "
+                "differ) — regenerate both preprocess targets together."
+            )
+        feat_out[i, :n] = xf
+    return dataclasses.replace(corpus, feat=feat_out)

@@ -44,6 +44,7 @@ from multimodalsignal_tpu.config import ExperimentConfig, save_config
 from multimodalsignal_tpu.data.dataset import (
     PackedCorpus,
     pack_corpus,
+    pack_hybrid_corpus,
     read_channel_names,
     read_preprocess_meta,
 )
@@ -208,6 +209,13 @@ class SweepResult(NamedTuple):
     test_probs: Any = None
 
 
+def _take(x, idx):
+    """Gather batch `idx` from the flat corpus. `x` is a plain [N, C, T]
+    array for raw-only sweeps or a pytree ((raw [N, C, T], feat [N, F]))
+    for hybrid sweeps — index pools address both streams identically."""
+    return jax.tree_util.tree_map(lambda a: a[idx], x)
+
+
 def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
                        steps_va: int, steps_te: int, num_classes: int):
     tcfg = cfg.trainer
@@ -229,7 +237,7 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
     def loss_and_grads(state: TrainState, x, y, xb_idx, wb, dropout_rng, cw):
         def loss_fn(params):
             logits, new_bs = apply_train(
-                params, state.batch_stats, x[xb_idx], dropout_rng
+                params, state.batch_stats, _take(x, xb_idx), dropout_rng
             )
             loss, wsum = cross_entropy(logits, y[xb_idx], wb, cw)
             return loss, (new_bs["batch_stats"], wsum)
@@ -249,7 +257,7 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
             bi, wb = inp
             logits = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
-                x[bi], train=False,
+                _take(x, bi), train=False,
             )
             loss, wsum = cross_entropy(logits, y[bi], wb, cw)
             preds = jnp.argmax(logits, axis=-1)
@@ -498,6 +506,11 @@ def run_fold_sweep(
     dispatch = dispatch or getattr(cfg, "sweep_dispatch", "per_epoch")
     x_flat, y_flat, _ = corpus.flat()
     x = jnp.asarray(x_flat, jnp.float32)
+    feat_flat = corpus.flat_feat()
+    if feat_flat is not None:
+        # Hybrid corpus: the model input pytree is (raw, feat); both streams
+        # share the window index space, so every pool gather serves both.
+        x = (x, jnp.asarray(feat_flat, jnp.float32))
     y = jnp.asarray(y_flat, jnp.int32)
 
     steps_tr = max(-(-int(fb.n_train.max()) // batch), 1)
@@ -508,7 +521,7 @@ def run_fold_sweep(
     # main.py:116-117); BN stats and Adam moments stay fold-local.
     base_rng = jax.random.PRNGKey(cfg.seed)
     fold_rngs = jax.random.split(base_rng, num_folds)
-    sample = x[:1]
+    sample = _take(x, jnp.arange(1))
 
     def init_fold(rng):
         init_rng, run_rng = jax.random.split(rng)
@@ -658,17 +671,28 @@ def run_sharded_experiment(
 
     t0 = time.time()
     validate_experiment(cfg, fold_execution="sharded")
+    hybrid = cfg.model.name == "hybrid_cnn_gru"
+    raw_path = cfg.raw_align_path if hybrid else cfg.data_path
     run_output_dir = Path(run_output_dir)
     run_output_dir.mkdir(parents=True, exist_ok=True)
     save_config(cfg, run_output_dir / "config.json",
-                extra={"preprocess_meta": read_preprocess_meta(cfg.data_path)})
+                extra={"preprocess_meta": read_preprocess_meta(raw_path)})
     if all_channel_names is None:
-        all_channel_names = read_channel_names(cfg.data_path)
+        all_channel_names = read_channel_names(raw_path)
 
-    corpus = pack_corpus(
-        cfg.data_path, list(cfg.subjects), list(cfg.channels_to_use),
-        all_channel_names, cfg.classification_mode, cfg.normalization,
-    )
+    if hybrid:
+        corpus = pack_hybrid_corpus(
+            cfg.raw_align_path, cfg.feature_path, list(cfg.subjects),
+            list(cfg.channels_to_use), all_channel_names,
+            features_to_use=list(cfg.features_to_use) or None,
+            classification_mode=cfg.classification_mode,
+            normalization=cfg.normalization,
+        )
+    else:
+        corpus = pack_corpus(
+            cfg.data_path, list(cfg.subjects), list(cfg.channels_to_use),
+            all_channel_names, cfg.classification_mode, cfg.normalization,
+        )
     mesh, padded = make_fold_mesh(len(corpus.subjects), devices)
     fb = build_fold_batch(corpus, list(cfg.subjects), cfg.val_fraction,
                           cfg.seed, pad_folds_to=padded)
