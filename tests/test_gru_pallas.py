@@ -30,7 +30,14 @@ def test_forward_parity(rng, reverse):
                                rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("t", [1, 5, T_BLK, T_BLK + 1, 3 * T_BLK])
+@pytest.mark.parametrize("t", [
+    1, 5, T_BLK + 1,
+    # Exact-block and multi-chunk shapes move to the slow tier: T_BLK+1
+    # already exercises the partial-last-chunk path quick, and
+    # test_forward_parity's 2*T_BLK+7 default covers multi-chunk.
+    pytest.param(T_BLK, marks=pytest.mark.slow),
+    pytest.param(3 * T_BLK, marks=pytest.mark.slow),
+])
 def test_forward_parity_chunk_boundaries(rng, t):
     x_gates, w_hh, b_hh, h0 = _setup(rng, t=t)
     for reverse in (False, True):
@@ -45,8 +52,9 @@ def test_forward_parity_chunk_boundaries(rng, t):
 ])
 def test_gradient_parity(rng, reverse):
     """Custom-VJP backward vs autodiff through the scan implementation,
-    for every differentiable input."""
-    x_gates, w_hh, b_hh, h0 = _setup(rng, t=T_BLK + 9)
+    for every differentiable input. b=2 keeps the interpret-mode quick
+    case fast; batch handling is shape-uniform in the kernel."""
+    x_gates, w_hh, b_hh, h0 = _setup(rng, b=2, t=T_BLK + 9)
     # Non-uniform cotangent: weight the loss per element.
     w_loss = jnp.asarray(rng.standard_normal(
         (x_gates.shape[0], x_gates.shape[1], w_hh.shape[1])), jnp.float32)
@@ -74,7 +82,7 @@ def test_bigru_module_impl_swap(rng):
     Short sequence on purpose: chunk-boundary coverage lives in
     test_forward_parity_chunk_boundaries; this test is about the module
     plumbing, and interpret-mode cost scales with T."""
-    x = jnp.asarray(rng.standard_normal((3, T_BLK // 2, 6)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, T_BLK // 4, 6)), jnp.float32)
     scan_mod = BiGRU(hidden_size=8, num_layers=2, impl="scan")
     pallas_mod = BiGRU(hidden_size=8, num_layers=2, impl="pallas")
     variables = scan_mod.init(jax.random.PRNGKey(0), x)
@@ -106,17 +114,29 @@ def test_bigru_pallas_grad_through_module(rng):
                                    rtol=2e-4, atol=2e-4)
 
 
-def test_vmap_composition(rng):
-    """The fold sweep vmaps the model over folds — the kernel must compose
-    with vmap (batched grid) and stay parity with scan."""
+def _vmap_setup(rng):
     f, b, t, h = 3, 2, 40, 4
     xg = jnp.asarray(rng.standard_normal((f, b, t, 3 * h)), jnp.float32)
     whh = jnp.asarray(rng.standard_normal((f, 3 * h, h)) * 0.3, jnp.float32)
     bhh = jnp.asarray(rng.standard_normal((f, 3 * h)) * 0.1, jnp.float32)
     h0 = jnp.zeros((f, b, h), jnp.float32)
+    return xg, whh, bhh, h0
+
+
+def test_vmap_composition(rng):
+    """The fold sweep vmaps the model over folds — the kernel must compose
+    with vmap (batched grid) and stay parity with scan."""
+    xg, whh, bhh, h0 = _vmap_setup(rng)
     want = jax.vmap(lambda a, w, c, d: gru_sequence(a, w, c, d))(xg, whh, bhh, h0)
     got = jax.vmap(lambda a, w, c, d: gru_sequence_pallas(a, w, c, d))(xg, whh, bhh, h0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_vmap_composition_grads(rng):
+    """Gradients through the vmapped kernel (slow tier: the custom-VJP fb
+    routing is covered quick by test_fold_batched_vs_unbatched)."""
+    xg, whh, bhh, h0 = _vmap_setup(rng)
 
     def loss(fn, w):
         return jnp.sum(jax.vmap(lambda a, ww, c, d: fn(a, ww, c, d))(xg, w, bhh, h0) ** 2)
@@ -183,22 +203,12 @@ def _fb_setup(rng, f=3, b=2, t=None, h=4):
     return xg, whh, bhh, h0
 
 
-@pytest.mark.parametrize("f,reverse,group", [
-    (2, True, False),                # quick smoke: grouping OFF (the default)
-    pytest.param(5, True, True, marks=pytest.mark.slow),   # ungrouped G=1
-    pytest.param(4, False, True, marks=pytest.mark.slow),  # one G=4 block
-    pytest.param(8, True, True, marks=pytest.mark.slow),   # TWO G=4 blocks
-    pytest.param(3, True, True, marks=pytest.mark.slow),   # G=3 divisor path
-    pytest.param(5, False, True, marks=pytest.mark.slow),
-    pytest.param(4, True, True, marks=pytest.mark.slow),
-])
-def test_fold_batched_vs_unbatched(rng, f, reverse, group, monkeypatch):
+def _fb_parity(rng, f, reverse, group, monkeypatch, with_grads=True):
     """vmap over folds routes into the fold-batched kernels (custom_vmap);
-    forward AND custom-VJP gradients must match the unbatched kernel per
-    fold. Fold GROUPING is opt-in (off by default — an end-to-end negative
-    result, benchmarks/RESULTS.md round 2); the quick smoke case runs the
-    production default (grouping off, BIT-exact); grouped/slow cases enable
-    it via MMS_GRU_FOLD_GROUP. F=5 has no divisor <= 4 and stays ungrouped —
+    forward (and optionally custom-VJP gradients) must match the unbatched
+    kernel per fold. Fold GROUPING is opt-in (off by default — an end-to-end
+    negative result, benchmarks/RESULTS.md round 2); grouped cases enable it
+    via MMS_GRU_FOLD_GROUP. F=5 has no divisor <= 4 and stays ungrouped —
     BIT-exact. Grouped sizes add zero-block lanes to the MXU contraction,
     so their parity is to f32 round-off."""
     if group:
@@ -224,6 +234,9 @@ def test_fold_batched_vs_unbatched(rng, f, reverse, group, monkeypatch):
                      for i in range(f)])
     check(got, want)
 
+    if not with_grads:
+        return
+
     def loss(a, w, c, d):
         return jnp.sum(run(a, w, c, d) ** 2)
 
@@ -235,6 +248,27 @@ def test_fold_batched_vs_unbatched(rng, f, reverse, group, monkeypatch):
     for j in range(4):
         want_j = np.stack([np.asarray(g_single[i][j]) for i in range(f)])
         check(g_fb[j], want_j)
+
+
+def test_fold_batched_forward_smoke(rng, monkeypatch):
+    """Quick tier: forward-only fb routing parity on the production default
+    (grouping off) — interpret-mode VJP costs live in the slow tier."""
+    _fb_parity(rng, f=2, reverse=True, group=False, monkeypatch=monkeypatch,
+               with_grads=False)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("f,reverse,group", [
+    (2, True, False),    # grouping OFF (the production default), with grads
+    (5, True, True),     # ungrouped G=1
+    (4, False, True),    # one G=4 block
+    (8, True, True),     # TWO G=4 blocks
+    (3, True, True),     # G=3 divisor path
+    (5, False, True),
+    (4, True, True),
+])
+def test_fold_batched_vs_unbatched(rng, f, reverse, group, monkeypatch):
+    _fb_parity(rng, f, reverse, group, monkeypatch, with_grads=True)
 
 
 def test_fold_batched_partial_batching(rng):
@@ -252,13 +286,12 @@ def test_fold_batched_partial_batching(rng):
 
 # --- bf16 kernel mode ------------------------------------------------------
 
-def test_bf16_fold_batched_close_to_f32_fb(rng):
+def test_bf16_fold_batched_forward(rng):
     """vmapped bf16 calls route NATIVELY into the fold-batched kernels (no
-    f32 round-trip — VERDICT r2 weak #1): the vmapped bf16 forward/grads must
+    f32 round-trip — VERDICT r2 weak #1): the vmapped bf16 forward must
     track the vmapped f32 fb kernels within bf16 round-off, and the bf16
     output dtype must survive the vmap rule."""
-    f = 2
-    xg, whh, bhh, h0 = _fb_setup(rng, f=f, t=T_BLK // 2 + 5)
+    xg, whh, bhh, h0 = _fb_setup(rng, f=2, t=T_BLK // 2 + 5)
     to16 = lambda a: a.astype(jnp.bfloat16)  # noqa: E731
 
     def run(a, w, c, d):
@@ -269,6 +302,20 @@ def test_bf16_fold_batched_close_to_f32_fb(rng):
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
                                rtol=0.0, atol=0.05)
+
+
+@pytest.mark.slow
+def test_bf16_fold_batched_close_to_f32_fb(rng):
+    """bf16 fb custom-VJP gradients track the f32 fb kernels within bf16
+    round-off, with the right cotangent dtypes (slow tier: interpret-mode
+    VJP; the forward + dtype contract is quick in
+    test_bf16_fold_batched_forward)."""
+    f = 2
+    xg, whh, bhh, h0 = _fb_setup(rng, f=f, t=T_BLK // 2 + 5)
+    to16 = lambda a: a.astype(jnp.bfloat16)  # noqa: E731
+
+    def run(a, w, c, d):
+        return gru_sequence_pallas(a, w, c, d, reverse=True)
 
     def loss(a, w, c, d):
         return jnp.sum(run(a, w, c, d).astype(jnp.float32) ** 2)
@@ -293,14 +340,30 @@ def test_bf16_fold_batched_close_to_f32_fb(rng):
         )
 
 
-@pytest.mark.parametrize("reverse", [
-    False, pytest.param(True, marks=pytest.mark.slow),
-])
-def test_bf16_forward_and_grads_close_to_f32(rng, reverse):
+def test_bf16_forward_close_to_f32(rng):
     """bf16 inputs select the kernels' bf16 mode (bf16 streams/MXU operands,
-    f32 carry + dW/db accumulators). Outputs and gradients must track the
-    f32 kernel within bf16 round-off, and cotangent dtypes must match the
-    bf16 primals."""
+    f32 carry). The forward output must track the f32 kernel within bf16
+    round-off and keep the bf16 dtype."""
+    x_gates, w_hh, b_hh, h0 = _setup(rng, b=2, t=T_BLK + 9)
+    want_y = gru_sequence_pallas(x_gates, w_hh, b_hh, h0, reverse=False)
+    got_y = gru_sequence_pallas(
+        x_gates.astype(jnp.bfloat16), w_hh.astype(jnp.bfloat16),
+        b_hh.astype(jnp.bfloat16), h0, reverse=False,
+    )
+    assert got_y.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got_y, np.float32), np.asarray(want_y),
+        rtol=0.0, atol=0.05,
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("reverse", [False, True])
+def test_bf16_forward_and_grads_close_to_f32(rng, reverse):
+    """bf16 gradients (f32 dW/db accumulators) must track the f32 kernel
+    within bf16 round-off, and cotangent dtypes must match the bf16 primals
+    (slow tier: interpret-mode VJP; the forward contract is quick in
+    test_bf16_forward_close_to_f32)."""
     x_gates, w_hh, b_hh, h0 = _setup(rng, b=2, t=T_BLK + 9)
 
     want_y = gru_sequence_pallas(x_gates, w_hh, b_hh, h0, reverse=reverse)
