@@ -125,3 +125,55 @@ def test_probe_fold_detects_corruption_effect(rng):
     assert hit["accuracy"] < clean["accuracy"]
     assert np.isnan(clean["gate_corrupted"])
     assert hit["gate_corrupted"] == 0.5  # stub has no attention params
+
+
+@pytest.mark.slow
+def test_trained_gate_downweights_railed_channel():
+    """Mechanism regression for the benchmark's attention result
+    (benchmarks/BENCHMARK.md): trained on windows where a random channel
+    sometimes rails (mean-shifted, information-destroying — the corpus's
+    artifact signature), the SE channel gate must learn to give railed
+    channels a LOWER gate than clean channels on held-out corrupted
+    windows. This is the input-conditioned down-weighting that makes
+    cnn_gru_attention degrade slower than cnn_gru under the corruption
+    probe (analysis/attention_probe.py)."""
+    from multimodalsignal_tpu.config import EarlyStoppingConfig, TrainerConfig
+    from multimodalsignal_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(7)
+    n, c, t = 384, 4, 64
+
+    def make(n):
+        y = rng.integers(0, 2, n).astype(np.int64)
+        x = rng.standard_normal((n, c, t)).astype(np.float32) * 0.5
+        x += (2.0 * y[:, None, None] - 1.0)  # every channel carries the label
+        hit = rng.random(n) < 0.5
+        chan = rng.integers(0, c, n)
+        for i in np.nonzero(hit)[0]:
+            x[i, chan[i]] = rng.uniform(4.0, 7.0) + \
+                0.2 * rng.standard_normal(t).astype(np.float32)
+        return x, y, hit, chan
+
+    x_tr, y_tr, _, _ = make(n)
+    x_va, y_va, _, _ = make(96)
+    model = CnnGruAttentionModel(num_classes=2, cnn_out_channels=8,
+                                 gru_hidden_size=8, gru_num_layers=1,
+                                 reduction_ratio=1, gru_impl="scan")
+    cfg = TrainerConfig(epochs=12, batch_size=32,
+                        early_stopping=EarlyStoppingConfig(patience=12))
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        trainer = Trainer(model, d, cfg, num_classes=2, seed=0)
+        trainer.train((x_tr, y_tr), (x_va, y_va))
+        params = trainer.state.params
+
+    x_te, _, hit, chan = make(256)
+    gates = gate_activations(params, x_te)
+    g_hit = gates[hit, chan[hit]].mean()
+    mask = np.ones_like(gates, bool)
+    mask[np.nonzero(hit)[0], chan[hit]] = False
+    g_other = gates[np.nonzero(hit)[0]][mask[np.nonzero(hit)[0]]].mean()
+    assert g_hit < g_other - 0.02, (
+        f"gate did not learn to down-weight railed channels: "
+        f"corrupted {g_hit:.3f} vs others {g_other:.3f}"
+    )
