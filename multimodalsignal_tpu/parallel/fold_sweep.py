@@ -700,6 +700,7 @@ def run_sharded_experiment(
     print(f"Sharded LOSO sweep: {len(fb.test_subjects)} folds "
           f"(padded to {padded}) over {mesh.devices.size} devices "
           f"[{mesh.devices.flat[0].platform}]")
+    print(f"  staging (pack + fold batch): {time.time() - t0:.1f}s")
     print("=" * 80)
 
     # Optional device trace of the whole sweep (the reference's only
@@ -717,6 +718,7 @@ def run_sharded_experiment(
     # (per-fold slicing of device arrays costs a transfer per access — the
     # old per-fold loop was ~90 s of the 402 s single-chip wall,
     # benchmarks/RESULTS.md), then artifact writes fan out on a thread pool.
+    t_finalize = time.time()
     host = jax.device_get({
         "cm": result.test_cm, "loss": result.test_loss,
         "stop": result.stop_epoch, "best": result.best_epoch,
@@ -755,6 +757,8 @@ def run_sharded_experiment(
 
     summary = write_cv_summary(run_output_dir / "cv_summary.txt", cfg, results)
     summary["sweep_wall_s"] = time.time() - t0
+    print(f"  finalize (bulk transfer + artifacts): "
+          f"{time.time() - t_finalize:.1f}s")
     print(f"\nSweep wall-clock: {summary['sweep_wall_s']:.2f}s "
           f"({len(results)} folds in parallel)")
     print(f"Mean accuracy: {summary['mean_accuracy']:.4f} "
