@@ -406,6 +406,119 @@ def _pack_subject_fused(data_path, sid, channel_indices, channels_to_use,
         return None
 
 
+# Bump when the packed layout or normalization math changes: invalidates
+# every existing on-disk pack cache entry.
+_PACK_CACHE_VERSION = 1
+
+
+def _pack_cache_key(data_path, subjects, channels_to_use,
+                    classification_mode, normalization) -> str:
+    """Key for one packed corpus: the exact pack inputs plus the
+    (mtime_ns, size) of every subject npy file, so re-running the
+    preprocessor (or changing the subject set / channels / mode / scheme)
+    can never serve a stale pack."""
+    import hashlib
+    import json
+
+    data_path = Path(data_path)
+    states = []
+    for sid in subjects:
+        for suffix in ("X", "y"):
+            f = data_path / f"{sid}_{suffix}.npy"
+            try:
+                st = f.stat()
+                states.append([sid, suffix, st.st_mtime_ns, st.st_size])
+            except OSError:
+                states.append([sid, suffix, None, None])
+    payload = json.dumps([
+        _PACK_CACHE_VERSION, list(subjects), list(channels_to_use),
+        classification_mode, normalization, states,
+    ])
+    return hashlib.sha256(payload.encode()).hexdigest()[:24]
+
+
+def _pack_cache_load(cache_dir: Path, key: str) -> PackedCorpus | None:
+    """Load a cached pack, or None. x comes back memory-mapped read-only —
+    the sweep only reads it (device_put streams it to HBM)."""
+    import json
+
+    entry = cache_dir / key
+    try:
+        info = json.loads((entry / "meta.json").read_text())
+        x = np.load(entry / "x.npy", mmap_mode="r")
+        y = np.load(entry / "y.npy")
+        mask = np.load(entry / "mask.npy")
+        entry.touch()  # LRU recency for _prune_pack_cache
+        return PackedCorpus(x, y, mask, tuple(info["subjects"]))
+    except OSError:
+        return None
+    except Exception as exc:  # corrupt entry: drop it, repack
+        print(f"Warning: dropping corrupt pack cache entry {entry} ({exc})")
+        import shutil
+
+        shutil.rmtree(entry, ignore_errors=True)
+        return None
+
+
+def _pack_cache_store(cache_dir: Path, key: str, corpus: PackedCorpus,
+                      max_bytes: int) -> None:
+    """Write an entry atomically (tmp dir + rename); never raises — a
+    read-only data dir or full disk just leaves the run uncached."""
+    import json
+    import os
+    import shutil
+
+    tmp = cache_dir / f".tmp-{key}-{os.getpid()}"
+    try:
+        tmp.mkdir(parents=True, exist_ok=True)
+        np.save(tmp / "x.npy", np.ascontiguousarray(corpus.x))
+        np.save(tmp / "y.npy", corpus.y)
+        np.save(tmp / "mask.npy", corpus.mask)
+        (tmp / "meta.json").write_text(json.dumps(
+            {"version": _PACK_CACHE_VERSION,
+             "subjects": list(corpus.subjects)}))
+        if (cache_dir / key).exists():
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            os.rename(tmp, cache_dir / key)
+    except OSError as exc:
+        print(f"Warning: pack cache write failed ({exc}); run stays uncached.")
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    _prune_pack_cache(cache_dir, max_bytes)
+
+
+def _prune_pack_cache(cache_dir: Path, max_bytes: int) -> None:
+    """Evict least-recently-used entries until the cache fits max_bytes."""
+    import shutil
+
+    try:
+        entries = [e for e in cache_dir.iterdir()
+                   if e.is_dir() and not e.name.startswith(".tmp-")]
+        sized = []
+        for e in entries:
+            size = sum(f.stat().st_size for f in e.iterdir() if f.is_file())
+            sized.append((e.stat().st_mtime_ns, size, e))
+        sized.sort(reverse=True)  # newest first
+        total = 0
+        for i, (mtime, size, e) in enumerate(sized):
+            total += size
+            # The newest entry always survives (it is the one the caller
+            # just wrote or read); older ones go once the cap is exceeded.
+            if i > 0 and total > max_bytes:
+                shutil.rmtree(e, ignore_errors=True)
+    except OSError:
+        pass
+
+
+def _pack_cache_enabled(cache: bool | None) -> bool:
+    import os
+
+    if cache is not None:
+        return cache
+    return os.environ.get("MMS_PACK_CACHE", "1") != "0"
+
+
 def pack_corpus(
     data_path: Path | str,
     subjects: list[str],
@@ -414,6 +527,7 @@ def pack_corpus(
     classification_mode: str = "stress_binary",
     normalization: str = "all",
     workers: int | None = None,
+    cache: bool | None = None,
 ) -> PackedCorpus:
     """Load + normalize every subject once and pad to [S, Wmax, C, T].
 
@@ -425,8 +539,28 @@ def pack_corpus(
     BLAS/IO-bound, so staging scales with host cores (half the single-chip
     end-to-end wall was serial pack — benchmarks/RESULTS.md). Results are
     order-deterministic regardless of worker count.
+
+    The result is also memoized on disk under <data_path>/.pack_cache,
+    keyed on the pack inputs and source-file mtimes/sizes, because the
+    per-subject normalize+pack is fold- and run-invariant: re-running the
+    same experiment (or another grid point on the same channel subset)
+    replaces ~90-150 s of 1-core staging with an mmap load. `cache=False`
+    or MMS_PACK_CACHE=0 disables; MMS_PACK_CACHE_GB bounds the LRU
+    (default 16).
     """
+    import os
     from concurrent.futures import ThreadPoolExecutor
+
+    use_cache = _pack_cache_enabled(cache)
+    cache_dir = Path(data_path) / ".pack_cache"
+    key = None
+    if use_cache:
+        key = _pack_cache_key(data_path, subjects, channels_to_use,
+                              classification_mode, normalization)
+        hit = _pack_cache_load(cache_dir, key)
+        if hit is not None:
+            print(f"  pack cache hit: {cache_dir / key}")
+            return hit
 
     channel_indices = [all_channel_names.index(ch) for ch in channels_to_use]
 
@@ -469,7 +603,12 @@ def pack_corpus(
         y_out[i, :n] = y
         mask[i, :n] = True
         sids.append(sid)
-    return PackedCorpus(x_out, y_out, mask, tuple(sids))
+    corpus = PackedCorpus(x_out, y_out, mask, tuple(sids))
+    if use_cache:
+        max_bytes = int(float(os.environ.get("MMS_PACK_CACHE_GB", "16"))
+                        * (1 << 30))
+        _pack_cache_store(cache_dir, key, corpus, max_bytes)
+    return corpus
 
 
 def pack_hybrid_corpus(
