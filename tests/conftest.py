@@ -22,6 +22,20 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache for the test suite. The quick tier is
+# compile-bound (a broad tail of 5-18 s tests, each paying a fresh CPU
+# compile); cache keys are process-deterministic for our programs (verified:
+# two identical sweep runs in separate processes add zero new entries), so
+# warm reruns load executables from disk instead of recompiling. Executables
+# that embed host callbacks are skipped automatically by JAX. Disable with
+# MMS_TEST_COMPILE_CACHE=0.
+if os.environ.get("MMS_TEST_COMPILE_CACHE", "1") != "0":
+    _cache = os.path.expanduser("~/.cache/multimodalsignal_tpu/xla_cache_tests")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np
 import pytest
 
