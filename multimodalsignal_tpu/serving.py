@@ -1,0 +1,250 @@
+"""HTTP model server: trained fold checkpoint -> prediction endpoint.
+
+The reference stops at cross-validation (SURVEY.md §1: no serving/API
+layer); `experiments/predict.py` adds batch inference, and this module puts
+a deployment surface on top of it — a dependency-free (stdlib `http.server`)
+threaded HTTP server around one `Predictor`:
+
+    python -m multimodalsignal_tpu.serving \
+        --checkpoint output/.../fold_test_on_S2/best_model.msgpack \
+        --config output/.../config.json --port 8080
+
+Endpoints (all JSON):
+
+  GET  /healthz
+      Liveness + model card: model name, classification mode, channels,
+      expected window shape, backend platform, requests served.
+
+  POST /v1/predict
+      Body: {"windows": [[[...T floats...] x C] x N]}           (nested lists)
+         or {"windows_b64": "<base64 of a .npy float32 [N, C, T]>"}
+      Reply: {"class_names", "labels", "probs", "num_windows", "latency_ms"}
+      Windows must already be normalized the way training data was (the
+      caller owns windowing when using this endpoint directly).
+
+  POST /v1/predict_recording
+      Body: {"pkl_path": "/path/on/server/S16.pkl"}
+      Runs the full serving pipeline (resample -> window -> normalize ->
+      forward) on a raw WESAD recording readable by the server process.
+      Reply: predict.PredictionResult JSON + per-class window counts.
+
+Device execution is single-flight (one lock): a single chip serves one
+batched forward at a time, and the jitted program is shared across request
+threads. Batches are padded to a fixed size so one compiled program serves
+any request length (predict.Predictor.predict_windows).
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+
+from multimodalsignal_tpu.experiments.predict import CLASS_NAMES, Predictor
+
+
+class PredictionService:
+    """Thread-safe wrapper of one Predictor for request-driven serving."""
+
+    def __init__(self, predictor: Predictor, batch_size: int = 64):
+        self.predictor = predictor
+        self.batch_size = batch_size
+        self._lock = threading.Lock()  # single-flight device execution
+        self.requests_served = 0
+        self.windows_served = 0
+        self.class_names = CLASS_NAMES[predictor.cfg.classification_mode]
+
+    # -- model card -----------------------------------------------------------
+    def health(self) -> dict:
+        import jax
+
+        cfg = self.predictor.cfg
+        return {
+            "status": "ok",
+            "model": cfg.model.name,
+            "classification_mode": cfg.classification_mode,
+            "class_names": list(self.class_names),
+            "channels": list(cfg.channels_to_use),
+            "window_shape": [len(cfg.channels_to_use),
+                             self.predictor.window_sec * self.predictor.target_fs],
+            "normalization": cfg.normalization,
+            "platform": jax.devices()[0].platform,
+            "batch_size": self.batch_size,
+            "requests_served": self.requests_served,
+            "windows_served": self.windows_served,
+        }
+
+    # -- request handlers -------------------------------------------------------
+    def predict_windows(self, payload: dict) -> dict:
+        x = self._decode_windows(payload)
+        t0 = time.perf_counter()
+        with self._lock:
+            probs = self.predictor.predict_windows(x, self.batch_size)
+        latency_ms = (time.perf_counter() - t0) * 1e3
+        self.requests_served += 1
+        self.windows_served += len(x)
+        return {
+            "class_names": list(self.class_names),
+            "labels": [self.class_names[int(i)] for i in probs.argmax(axis=-1)],
+            "probs": [[round(float(p), 6) for p in row] for row in probs],
+            "num_windows": int(len(x)),
+            "latency_ms": round(latency_ms, 2),
+        }
+
+    def predict_recording(self, payload: dict) -> dict:
+        pkl_path = payload.get("pkl_path")
+        if not pkl_path or not Path(pkl_path).is_file():
+            raise ServingError(400, f"pkl_path not found: {pkl_path!r}")
+        t0 = time.perf_counter()
+        # The host pipeline (resample/window/normalize) runs outside the
+        # lock — only the device forward is single-flight.
+        x, starts_sec = self.predictor.windows_from_recording(pkl_path)
+        with self._lock:
+            probs = self.predictor.predict_windows(x, self.batch_size)
+        latency_ms = (time.perf_counter() - t0) * 1e3
+        self.requests_served += 1
+        self.windows_served += len(x)
+        labels = probs.argmax(axis=-1)
+        counts = np.bincount(labels, minlength=len(self.class_names))
+        return {
+            "class_names": list(self.class_names),
+            "windows": [
+                {"start_sec": float(t),
+                 "label": self.class_names[int(l)],
+                 "probs": [round(float(p), 6) for p in row]}
+                for t, l, row in zip(starts_sec, labels, probs)
+            ],
+            "class_counts": {n: int(c)
+                             for n, c in zip(self.class_names, counts)},
+            "latency_ms": round(latency_ms, 2),
+        }
+
+    # -- input decoding ---------------------------------------------------------
+    def _decode_windows(self, payload: dict) -> np.ndarray:
+        if "windows_b64" in payload:
+            try:
+                raw = base64.b64decode(payload["windows_b64"])
+                x = np.load(io.BytesIO(raw), allow_pickle=False)
+            except Exception as exc:
+                raise ServingError(400, f"windows_b64 is not a valid .npy: {exc}")
+        elif "windows" in payload:
+            try:
+                x = np.asarray(payload["windows"], dtype=np.float32)
+            except (TypeError, ValueError) as exc:
+                raise ServingError(400, f"windows is not numeric [N,C,T]: {exc}")
+        else:
+            raise ServingError(400, "body must contain 'windows' or 'windows_b64'")
+        x = np.asarray(x, dtype=np.float32)
+        cfg = self.predictor.cfg
+        c = len(cfg.channels_to_use)
+        t = self.predictor.window_sec * self.predictor.target_fs
+        if x.ndim == 2:  # single window convenience
+            x = x[None]
+        if x.ndim != 3 or x.shape[1] != c or x.shape[2] != t:
+            raise ServingError(
+                400, f"expected windows of shape [N, {c}, {t}] "
+                     f"(channels {list(cfg.channels_to_use)}), got {list(x.shape)}")
+        if len(x) == 0:
+            raise ServingError(400, "empty windows batch")
+        if not np.isfinite(x).all():
+            raise ServingError(400, "windows contain NaN/Inf")
+        return x
+
+
+class ServingError(Exception):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+        self.message = message
+
+
+def make_handler(service: PredictionService):
+    class Handler(BaseHTTPRequestHandler):
+        # Silence per-request stderr logging; the CLI prints a startup line.
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        def _reply(self, status: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            if self.path in ("/healthz", "/health", "/"):
+                self._reply(200, service.health())
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            routes = {
+                "/v1/predict": service.predict_windows,
+                "/v1/predict_recording": service.predict_recording,
+            }
+            fn = routes.get(self.path)
+            if fn is None:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(payload, dict):
+                    raise ServingError(400, "body must be a JSON object")
+                self._reply(200, fn(payload))
+            except ServingError as exc:
+                self._reply(exc.status, {"error": exc.message})
+            except json.JSONDecodeError as exc:
+                self._reply(400, {"error": f"invalid JSON body: {exc}"})
+            except Exception as exc:  # pragma: no cover - defensive 500
+                self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
+
+    return Handler
+
+
+def make_server(service: PredictionService, host: str = "127.0.0.1",
+                port: int = 8080) -> ThreadingHTTPServer:
+    """Build the (threaded) HTTP server; caller runs serve_forever()."""
+    return ThreadingHTTPServer((host, port), make_handler(service))
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--config", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--batch-size", type=int, default=64)
+    args = p.parse_args(argv)
+
+    predictor = Predictor.from_files(args.checkpoint, args.config)
+    service = PredictionService(predictor, batch_size=args.batch_size)
+    # Compile + warm the batched forward before accepting traffic, so the
+    # first request does not pay the jit compile.
+    warm = np.zeros((1, len(predictor.cfg.channels_to_use),
+                     predictor.window_sec * predictor.target_fs), np.float32)
+    service.predict_windows({"windows": warm.tolist()})
+    service.requests_served = 0
+    service.windows_served = 0
+
+    server = make_server(service, args.host, args.port)
+    card = service.health()
+    print(f"Serving {card['model']} ({card['classification_mode']}, "
+          f"channels {card['channels']}) on http://{args.host}:{args.port} "
+          f"[{card['platform']}]", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()
