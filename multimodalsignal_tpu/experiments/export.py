@@ -1,0 +1,148 @@
+"""Model export: trained checkpoint -> self-contained StableHLO artifact.
+
+The reference has no deployment story at all (SURVEY.md §1: no serving/API
+layer; checkpoints are torch state_dicts that require the model source to
+load). This is the TPU-native one: `jax.export` serializes the jitted
+inference function — weights baked in as constants, batch dimension
+symbolic, lowered for BOTH cpu and tpu — into one versioned artifact that
+runs WITHOUT this package's model code (only jax is needed to execute it):
+
+    python -m multimodalsignal_tpu.experiments.export \
+        --checkpoint output/.../fold_test_on_S2/best_model.msgpack \
+        --config output/.../config.json --out model.mms
+
+    from multimodalsignal_tpu.experiments.export import ExportedPredictor
+    ep = ExportedPredictor.load("model.mms")
+    probs = ep.predict_windows(x)        # [N, C, T] float32, any N
+
+Artifact format (`.mms` = a zip): `model.stablehlo` (serialized
+jax.export blob) + `meta.json` (class names, channels, window geometry,
+normalization scheme, platforms — everything a serving shim needs to
+validate inputs and label outputs).
+
+The exported function always uses the portable `lax.scan` GRU: the Pallas
+kernels are runtime-selected TPU code paths, parity-tested against scan
+(tests/test_gru_pallas.py), and a deployable artifact must execute on any
+listed platform.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import zipfile
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ARTIFACT_VERSION = 1
+
+
+def export_predictor(predictor, out_path: Path | str,
+                     platforms: tuple[str, ...] = ("cpu", "tpu")) -> dict:
+    """Serialize `predictor`'s inference function + weights to `out_path`.
+
+    Returns the artifact's meta dict. The batch dimension is symbolic, so
+    one export serves any request size with no padding."""
+    from jax import export as jexport
+
+    from multimodalsignal_tpu.experiments.predict import CLASS_NAMES
+    from multimodalsignal_tpu.models import build_model
+
+    cfg = predictor.cfg
+    # Portable compute path only (see module docstring).
+    model = build_model(dataclasses.replace(cfg.model, gru_impl="scan"),
+                        cfg.num_classes)
+    params, batch_stats = predictor.state.params, predictor.state.batch_stats
+
+    def infer(x):
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False
+        )
+        return jax.nn.softmax(logits, axis=-1)
+
+    c = len(cfg.channels_to_use)
+    t = predictor.window_sec * predictor.target_fs
+    (b,) = jexport.symbolic_shape("b")
+    spec = jax.ShapeDtypeStruct((b, c, t), jnp.float32)
+    exported = jexport.export(jax.jit(infer), platforms=tuple(platforms))(spec)
+    blob = exported.serialize()
+
+    meta = {
+        "artifact_version": ARTIFACT_VERSION,
+        "model": cfg.model.name,
+        "classification_mode": cfg.classification_mode,
+        "class_names": list(CLASS_NAMES[cfg.classification_mode]),
+        "channels": list(cfg.channels_to_use),
+        "window_shape": [c, t],
+        "window_sec": predictor.window_sec,
+        "stride_sec": predictor.stride_sec,
+        "target_fs": predictor.target_fs,
+        "original_fs": predictor.original_fs,
+        "normalization": cfg.normalization,
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+    }
+    out_path = Path(out_path)
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("model.stablehlo", blob)
+        zf.writestr("meta.json", json.dumps(meta, indent=2))
+    return meta
+
+
+class ExportedPredictor:
+    """Run an exported artifact. Needs jax only — no model code, no flax."""
+
+    def __init__(self, exported, meta: dict):
+        self._exported = exported
+        self.meta = meta
+        self.class_names = tuple(meta["class_names"])
+
+    @classmethod
+    def load(cls, path: Path | str) -> "ExportedPredictor":
+        from jax import export as jexport
+
+        with zipfile.ZipFile(Path(path)) as zf:
+            blob = zf.read("model.stablehlo")
+            meta = json.loads(zf.read("meta.json"))
+        if meta.get("artifact_version") != ARTIFACT_VERSION:
+            raise ValueError(
+                f"artifact version {meta.get('artifact_version')} "
+                f"!= supported {ARTIFACT_VERSION}")
+        return cls(jexport.deserialize(blob), meta)
+
+    def predict_windows(self, x: np.ndarray) -> np.ndarray:
+        """[N, C, T] float32 -> probs [N, num_classes]. Symbolic batch: any
+        N executes without padding or recompilation per shape."""
+        x = np.asarray(x, np.float32)
+        c, t = self.meta["window_shape"]
+        if x.ndim != 3 or x.shape[1] != c or x.shape[2] != t:
+            raise ValueError(
+                f"expected windows [N, {c}, {t}], got {list(x.shape)}")
+        return np.asarray(self._exported.call(x))
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--config", required=True)
+    p.add_argument("--out", required=True, help="artifact path (.mms)")
+    p.add_argument("--platforms", default="cpu,tpu",
+                   help="comma-separated lowering targets (default cpu,tpu)")
+    args = p.parse_args(argv)
+
+    from multimodalsignal_tpu.experiments.predict import Predictor
+
+    predictor = Predictor.from_files(args.checkpoint, args.config)
+    platforms = tuple(s.strip() for s in args.platforms.split(",") if s.strip())
+    meta = export_predictor(predictor, args.out, platforms)
+    size_kb = Path(args.out).stat().st_size / 1024
+    print(f"Exported {meta['model']} ({meta['classification_mode']}) "
+          f"for {meta['platforms']} -> {args.out} ({size_kb:.0f} KiB)")
+
+
+if __name__ == "__main__":
+    main()
