@@ -114,15 +114,28 @@ class ExportedPredictor:
                 f"!= supported {ARTIFACT_VERSION}")
         return cls(jexport.deserialize(blob), meta)
 
-    def predict_windows(self, x: np.ndarray) -> np.ndarray:
+    def predict_windows(self, x: np.ndarray, batch_size: int | None = None
+                        ) -> np.ndarray:
         """[N, C, T] float32 -> probs [N, num_classes]. Symbolic batch: any
-        N executes without padding or recompilation per shape."""
+        N executes without padding or recompilation per shape (batch_size is
+        accepted for Predictor interface compatibility and ignored)."""
         x = np.asarray(x, np.float32)
         c, t = self.meta["window_shape"]
         if x.ndim != 3 or x.shape[1] != c or x.shape[2] != t:
             raise ValueError(
                 f"expected windows [N, {c}, {t}], got {list(x.shape)}")
         return np.asarray(self._exported.call(x))
+
+    def windows_from_recording(self, pkl_path) -> tuple[np.ndarray, np.ndarray]:
+        """Raw WESAD pickle -> normalized windows, replaying the artifact's
+        recorded pipeline parameters (Predictor interface)."""
+        from multimodalsignal_tpu.experiments.predict import recording_to_windows
+
+        m = self.meta
+        return recording_to_windows(
+            pkl_path, list(m["channels"]), m["normalization"],
+            m["original_fs"], m["target_fs"], m["window_sec"], m["stride_sec"],
+        )
 
 
 def main(argv=None) -> None:

@@ -75,6 +75,79 @@ class PredictionResult:
         }, indent=2)
 
 
+def recording_to_windows(
+    pkl_path: Path | str,
+    channels_to_use: list[str],
+    normalization: str,
+    original_fs: int = 700,
+    target_fs: int = 128,
+    window_sec: int = 60,
+    stride_sec: int = 10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Raw WESAD pickle -> normalized [N, C, T] windows + start times (s).
+
+    The standalone serving pipeline: resample, slide windows over the whole
+    recording (no protocol file at inference time), normalize with the
+    recording's own statistics. Shared by `Predictor` (checkpoint serving)
+    and `export.ExportedPredictor` (artifact serving — its meta.json carries
+    exactly these parameters)."""
+    data = load_pkl(pkl_path)
+    chest = chest_signals(data)
+    cols = []
+    for sensor in CHEST_SENSORS:
+        sig = np.asarray(chest[sensor])
+        if sig.ndim == 1:
+            sig = sig[:, None]
+        cols.append(resample_signal(sig, original_fs, target_fs))
+    full = np.concatenate(cols, axis=1)  # [T', 8]
+
+    # Wrist-channel checkpoints (data/preprocess.py --include-wrist):
+    # append the wrist block on the chest grid, exactly as preprocessing
+    # does, with the same zero-fill fallback for chest-only recordings.
+    names = list(ALL_CHANNEL_NAMES)
+    if any(ch not in ALL_CHANNEL_NAMES for ch in channels_to_use):
+        from multimodalsignal_tpu.config import WRIST_CHANNEL_NAMES
+        from multimodalsignal_tpu.data.preprocess import _resample_wrist
+        from multimodalsignal_tpu.data.wesad_io import wrist_signals
+
+        wrist = wrist_signals(data)
+        if wrist is None:
+            print(f"Warning: {pkl_path} has no wrist data; "
+                  f"wrist channels filled with zeros.")
+            block = np.zeros((full.shape[0], len(WRIST_CHANNEL_NAMES)))
+        else:
+            block = _resample_wrist(wrist, target_fs, full.shape[0])
+        full = np.concatenate([full, block], axis=1)
+        names += list(WRIST_CHANNEL_NAMES)
+
+    window_samples = window_sec * target_fs
+    stride_samples = stride_sec * target_fs
+    starts = window_starts(0, full.shape[0], window_samples, stride_samples)
+    ch_idx = [names.index(ch) for ch in channels_to_use]
+    win = sliding_windows(full[:, ch_idx].astype(np.float32), starts,
+                          window_samples)  # [N, T, C]
+    # Per-recording normalization = the training scheme's per-subject
+    # statistics (all windows; no labels exist at inference time).
+    y_dummy = np.ones(len(win), dtype=np.int64)
+    scheme = normalization
+    if scheme == "baseline":
+        # Training stats came from Base-protocol windows only
+        # (void/dataset.py:30-55); an unlabeled recording has no Base
+        # segment, so the closest available statistics are all-window —
+        # a distribution shift the caller should know about.
+        print(
+            "WARNING: model was trained with 'baseline' (Base-windows-"
+            "only) normalization statistics; at inference the recording "
+            "has no protocol labels, so all-window statistics are used "
+            "instead. Expect a shifted input distribution.",
+            flush=True,
+        )
+        scheme = "all"
+    win = normalize_subject(win, y_dummy, list(channels_to_use), scheme)
+    x = np.ascontiguousarray(win.transpose(0, 2, 1))  # [N, C, T]
+    return x, starts / target_fs
+
+
 class Predictor:
     """Jitted windowed inference for one trained model."""
 
@@ -132,61 +205,11 @@ class Predictor:
     # -- inference ------------------------------------------------------------
     def windows_from_recording(self, pkl_path: Path | str) -> tuple[np.ndarray, np.ndarray]:
         """Raw WESAD pickle -> normalized [N, C, T] windows + start times."""
-        data = load_pkl(pkl_path)
-        chest = chest_signals(data)
-        cols = []
-        for sensor in CHEST_SENSORS:
-            sig = np.asarray(chest[sensor])
-            if sig.ndim == 1:
-                sig = sig[:, None]
-            cols.append(resample_signal(sig, self.original_fs, self.target_fs))
-        full = np.concatenate(cols, axis=1)  # [T', 8]
-
-        # Wrist-channel checkpoints (data/preprocess.py --include-wrist):
-        # append the wrist block on the chest grid, exactly as preprocessing
-        # does, with the same zero-fill fallback for chest-only recordings.
-        names = list(ALL_CHANNEL_NAMES)
-        if any(ch not in ALL_CHANNEL_NAMES for ch in self.cfg.channels_to_use):
-            from multimodalsignal_tpu.config import WRIST_CHANNEL_NAMES
-            from multimodalsignal_tpu.data.preprocess import _resample_wrist
-            from multimodalsignal_tpu.data.wesad_io import wrist_signals
-
-            wrist = wrist_signals(data)
-            if wrist is None:
-                print(f"Warning: {pkl_path} has no wrist data; "
-                      f"wrist channels filled with zeros.")
-                block = np.zeros((full.shape[0], len(WRIST_CHANNEL_NAMES)))
-            else:
-                block = _resample_wrist(wrist, self.target_fs, full.shape[0])
-            full = np.concatenate([full, block], axis=1)
-            names += list(WRIST_CHANNEL_NAMES)
-
-        window_samples = self.window_sec * self.target_fs
-        stride_samples = self.stride_sec * self.target_fs
-        starts = window_starts(0, full.shape[0], window_samples, stride_samples)
-        ch_idx = [names.index(ch) for ch in self.cfg.channels_to_use]
-        win = sliding_windows(full[:, ch_idx].astype(np.float32), starts,
-                              window_samples)  # [N, T, C]
-        # Per-recording normalization = the training scheme's per-subject
-        # statistics (all windows; no labels exist at inference time).
-        y_dummy = np.ones(len(win), dtype=np.int64)
-        scheme = self.cfg.normalization
-        if scheme == "baseline":
-            # Training stats came from Base-protocol windows only
-            # (void/dataset.py:30-55); an unlabeled recording has no Base
-            # segment, so the closest available statistics are all-window —
-            # a distribution shift the caller should know about.
-            print(
-                "WARNING: model was trained with 'baseline' (Base-windows-"
-                "only) normalization statistics; at inference the recording "
-                "has no protocol labels, so all-window statistics are used "
-                "instead. Expect a shifted input distribution.",
-                flush=True,
-            )
-            scheme = "all"
-        win = normalize_subject(win, y_dummy, list(self.cfg.channels_to_use), scheme)
-        x = np.ascontiguousarray(win.transpose(0, 2, 1))  # [N, C, T]
-        return x, starts / self.target_fs
+        return recording_to_windows(
+            pkl_path, list(self.cfg.channels_to_use), self.cfg.normalization,
+            self.original_fs, self.target_fs, self.window_sec,
+            self.stride_sec,
+        )
 
     def predict_windows(self, x: np.ndarray, batch_size: int = 64) -> np.ndarray:
         """[N, C, T] -> probs [N, num_classes] (fixed-size padded batches so

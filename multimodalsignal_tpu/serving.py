@@ -9,6 +9,11 @@ threaded HTTP server around one `Predictor`:
         --checkpoint output/.../fold_test_on_S2/best_model.msgpack \
         --config output/.../config.json --port 8080
 
+or, from a single exported artifact (experiments/export.py) with no model
+code at the deployment site:
+
+    python -m multimodalsignal_tpu.serving --artifact model.mms --port 8080
+
 Endpoints (all JSON):
 
   GET  /healthz
@@ -51,30 +56,48 @@ from multimodalsignal_tpu.experiments.predict import CLASS_NAMES, Predictor
 
 
 class PredictionService:
-    """Thread-safe wrapper of one Predictor for request-driven serving."""
+    """Thread-safe wrapper of one inference backend for request-driven
+    serving. Backends: a live `Predictor` (checkpoint + config) or an
+    `export.ExportedPredictor` (a single .mms artifact — no model code)."""
 
-    def __init__(self, predictor: Predictor, batch_size: int = 64):
+    def __init__(self, predictor, batch_size: int = 64):
         self.predictor = predictor
         self.batch_size = batch_size
         self._lock = threading.Lock()  # single-flight device execution
         self.requests_served = 0
         self.windows_served = 0
-        self.class_names = CLASS_NAMES[predictor.cfg.classification_mode]
+        meta = getattr(predictor, "meta", None)
+        if meta is not None:  # artifact backend
+            self.model_name = meta["model"]
+            self.classification_mode = meta["classification_mode"]
+            self.channels = list(meta["channels"])
+            self.window_shape = tuple(meta["window_shape"])
+            self.normalization = meta["normalization"]
+            self.backend = "artifact"
+        else:
+            cfg = predictor.cfg
+            self.model_name = cfg.model.name
+            self.classification_mode = cfg.classification_mode
+            self.channels = list(cfg.channels_to_use)
+            self.window_shape = (len(cfg.channels_to_use),
+                                 predictor.window_sec * predictor.target_fs)
+            self.normalization = cfg.normalization
+            self.backend = "checkpoint"
+        self.class_names = CLASS_NAMES[self.classification_mode]
 
     # -- model card -----------------------------------------------------------
     def health(self) -> dict:
         import jax
 
-        cfg = self.predictor.cfg
         return {
             "status": "ok",
-            "model": cfg.model.name,
-            "classification_mode": cfg.classification_mode,
+            "model": self.model_name,
+            "backend": self.backend,
+            "classification_mode": self.classification_mode,
             "class_names": list(self.class_names),
-            "channels": list(cfg.channels_to_use),
-            "window_shape": [len(cfg.channels_to_use),
-                             self.predictor.window_sec * self.predictor.target_fs],
-            "normalization": cfg.normalization,
+            "channels": self.channels,
+            "window_shape": list(self.window_shape),
+            "normalization": self.normalization,
             "platform": jax.devices()[0].platform,
             "batch_size": self.batch_size,
             "requests_served": self.requests_served,
@@ -142,15 +165,13 @@ class PredictionService:
         else:
             raise ServingError(400, "body must contain 'windows' or 'windows_b64'")
         x = np.asarray(x, dtype=np.float32)
-        cfg = self.predictor.cfg
-        c = len(cfg.channels_to_use)
-        t = self.predictor.window_sec * self.predictor.target_fs
+        c, t = self.window_shape
         if x.ndim == 2:  # single window convenience
             x = x[None]
         if x.ndim != 3 or x.shape[1] != c or x.shape[2] != t:
             raise ServingError(
                 400, f"expected windows of shape [N, {c}, {t}] "
-                     f"(channels {list(cfg.channels_to_use)}), got {list(x.shape)}")
+                     f"(channels {self.channels}), got {list(x.shape)}")
         if len(x) == 0:
             raise ServingError(400, "empty windows batch")
         if not np.isfinite(x).all():
@@ -218,19 +239,31 @@ def make_server(service: PredictionService, host: str = "127.0.0.1",
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--checkpoint", required=True)
-    p.add_argument("--config", required=True)
+    p.add_argument("--checkpoint", help="best_model.msgpack (with --config)")
+    p.add_argument("--config", help="the run's config.json (with --checkpoint)")
+    p.add_argument("--artifact",
+                   help="exported .mms artifact (experiments/export.py) — "
+                        "serves without model code; replaces "
+                        "--checkpoint/--config")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--batch-size", type=int, default=64)
     args = p.parse_args(argv)
 
-    predictor = Predictor.from_files(args.checkpoint, args.config)
+    if args.artifact:
+        if args.checkpoint or args.config:
+            p.error("--artifact replaces --checkpoint/--config")
+        from multimodalsignal_tpu.experiments.export import ExportedPredictor
+
+        predictor = ExportedPredictor.load(args.artifact)
+    elif args.checkpoint and args.config:
+        predictor = Predictor.from_files(args.checkpoint, args.config)
+    else:
+        p.error("provide --artifact, or --checkpoint with --config")
     service = PredictionService(predictor, batch_size=args.batch_size)
     # Compile + warm the batched forward before accepting traffic, so the
     # first request does not pay the jit compile.
-    warm = np.zeros((1, len(predictor.cfg.channels_to_use),
-                     predictor.window_sec * predictor.target_fs), np.float32)
+    warm = np.zeros((1,) + tuple(service.window_shape), np.float32)
     service.predict_windows({"windows": warm.tolist()})
     service.requests_served = 0
     service.windows_served = 0
@@ -238,8 +271,9 @@ def main(argv=None) -> None:
     server = make_server(service, args.host, args.port)
     card = service.health()
     print(f"Serving {card['model']} ({card['classification_mode']}, "
-          f"channels {card['channels']}) on http://{args.host}:{args.port} "
-          f"[{card['platform']}]", flush=True)
+          f"channels {card['channels']}, backend {card['backend']}) "
+          f"on http://{args.host}:{args.port} [{card['platform']}]",
+          flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

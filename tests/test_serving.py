@@ -169,3 +169,50 @@ def test_service_decode_errors_direct(service):
         service._decode_windows({"windows_b64": "not base64 npy"})
     with pytest.raises(ServingError):
         service._decode_windows({"windows": [[["a"]]]})
+
+
+def test_artifact_backend_parity(service, tmp_path):
+    """The same server contract from a single exported .mms artifact (no
+    checkpoint/config/model code) — probs must match the live backend."""
+    from multimodalsignal_tpu.experiments.export import (
+        ExportedPredictor,
+        export_predictor,
+    )
+
+    out = tmp_path / "model.mms"
+    export_predictor(service.predictor, out, platforms=("cpu",))
+    art_service = PredictionService(ExportedPredictor.load(out))
+    assert art_service.backend == "artifact"
+    card = art_service.health()
+    assert card["window_shape"] == [C, T] and card["backend"] == "artifact"
+
+    server = make_server(art_service, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        x = np.random.default_rng(5).standard_normal((3, C, T)).astype(np.float32)
+        _, art = _post(url + "/v1/predict", {"windows": x.tolist()})
+        live = service.predict_windows({"windows": x.tolist()})
+        np.testing.assert_allclose(art["probs"], live["probs"], atol=1e-5)
+    finally:
+        server.shutdown()
+
+
+def test_artifact_backend_recording(service, tmp_path, wesad_root):
+    """predict_recording through the artifact's recorded pipeline params."""
+    from multimodalsignal_tpu.experiments.export import (
+        ExportedPredictor,
+        export_predictor,
+    )
+
+    out = tmp_path / "model.mms"
+    export_predictor(service.predictor, out, platforms=("cpu",))
+    art_service = PredictionService(ExportedPredictor.load(out))
+    res = art_service.predict_recording(
+        {"pkl_path": str(wesad_root / "S3" / "S3.pkl")})
+    live = service.predict_recording(
+        {"pkl_path": str(wesad_root / "S3" / "S3.pkl")})
+    np.testing.assert_allclose(
+        [w["probs"] for w in res["windows"]],
+        [w["probs"] for w in live["windows"]], atol=1e-5)
