@@ -57,12 +57,26 @@ def export_predictor(predictor, out_path: Path | str,
     model = build_model(dataclasses.replace(cfg.model, gru_impl="scan"),
                         cfg.num_classes)
     params, batch_stats = predictor.state.params, predictor.state.batch_stats
+    fold_names = getattr(predictor, "fold_names", None)
 
-    def infer(x):
-        logits = model.apply(
-            {"params": params, "batch_stats": batch_stats}, x, train=False
-        )
-        return jax.nn.softmax(logits, axis=-1)
+    if fold_names is not None:
+        # Fold-ensemble artifact (predict.EnsemblePredictor): params carry a
+        # leading fold axis; the exported program vmaps over it and averages
+        # probabilities — the whole cross-validated ensemble in one blob.
+        def infer(x):
+            def one_fold(p, bs):
+                logits = model.apply(
+                    {"params": p, "batch_stats": bs}, x, train=False
+                )
+                return jax.nn.softmax(logits, axis=-1)
+
+            return jax.vmap(one_fold)(params, batch_stats).mean(axis=0)
+    else:
+        def infer(x):
+            logits = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=False
+            )
+            return jax.nn.softmax(logits, axis=-1)
 
     c = len(cfg.channels_to_use)
     t = predictor.window_sec * predictor.target_fs
@@ -85,6 +99,7 @@ def export_predictor(predictor, out_path: Path | str,
         "normalization": cfg.normalization,
         "platforms": list(platforms),
         "jax_version": jax.__version__,
+        "ensemble_folds": list(fold_names) if fold_names is not None else None,
     }
     out_path = Path(out_path)
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
@@ -140,20 +155,38 @@ class ExportedPredictor:
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--checkpoint", required=True)
-    p.add_argument("--config", required=True)
+    p.add_argument("--checkpoint", help="one fold's best_model.msgpack")
+    p.add_argument("--config", help="the run's config.json")
+    p.add_argument("--run-dir",
+                   help="run directory (with --fold); replaces "
+                        "--checkpoint/--config")
+    p.add_argument("--fold", default="all",
+                   help="with --run-dir: a subject id, or 'all' for the "
+                        "vmapped fold ensemble (default)")
     p.add_argument("--out", required=True, help="artifact path (.mms)")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated lowering targets (default cpu,tpu)")
     args = p.parse_args(argv)
 
-    from multimodalsignal_tpu.experiments.predict import Predictor
+    from multimodalsignal_tpu.experiments.predict import (
+        EnsemblePredictor,
+        Predictor,
+    )
 
-    predictor = Predictor.from_files(args.checkpoint, args.config)
+    if args.run_dir:
+        if args.checkpoint or args.config:
+            p.error("--run-dir replaces --checkpoint/--config")
+        predictor = EnsemblePredictor.from_run(args.run_dir, args.fold)
+    elif args.checkpoint and args.config:
+        predictor = Predictor.from_files(args.checkpoint, args.config)
+    else:
+        p.error("provide --run-dir, or --checkpoint with --config")
     platforms = tuple(s.strip() for s in args.platforms.split(",") if s.strip())
     meta = export_predictor(predictor, args.out, platforms)
     size_kb = Path(args.out).stat().st_size / 1024
-    print(f"Exported {meta['model']} ({meta['classification_mode']}) "
+    folds = meta.get("ensemble_folds")
+    kind = f"{len(folds)}-fold ensemble" if folds else "single fold"
+    print(f"Exported {meta['model']} ({meta['classification_mode']}, {kind}) "
           f"for {meta['platforms']} -> {args.out} ({size_kb:.0f} KiB)")
 
 

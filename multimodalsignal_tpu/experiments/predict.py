@@ -237,14 +237,77 @@ class Predictor:
         )
 
 
+class EnsemblePredictor(Predictor):
+    """Every fold checkpoint of a LOSO run as ONE forward: params stacked
+    along a fold axis, the model vmapped over it (a single XLA program — the
+    fold ensemble rides the MXU exactly like the training sweep's fold axis,
+    parallel/fold_sweep.py), probabilities averaged across folds.
+
+    This is the deployment-shaped answer to "which fold's model do I ship?":
+    the reference trains 15 models and ships none (SURVEY.md §1); here the
+    cross-validated ensemble itself is servable and exportable.
+    """
+
+    def __init__(self, cfg: ExperimentConfig, states_stacked: TrainState,
+                 fold_names: tuple[str, ...], **kw):
+        self.fold_names = tuple(fold_names)
+        super().__init__(cfg, states_stacked, **kw)
+
+    def _predict_fn(self, params, batch_stats, x):
+        def one_fold(p, bs):
+            logits = self.model.apply(
+                {"params": p, "batch_stats": bs}, x, train=False
+            )
+            return jax.nn.softmax(logits, axis=-1)
+
+        probs = jax.vmap(one_fold)(params, batch_stats)  # [F, B, K]
+        return probs.mean(axis=0)
+
+    @classmethod
+    def from_run(cls, run_dir: Path | str, fold: str = "all") -> "Predictor":
+        """fold='all' -> the ensemble; a subject id -> that fold alone."""
+        if fold != "all":
+            return Predictor.from_run(run_dir, fold)
+        run_dir = Path(run_dir)
+        ckpts = sorted(run_dir.glob("fold_test_on_*/best_model.msgpack"))
+        if not ckpts:
+            raise FileNotFoundError(
+                f"no fold_test_on_*/best_model.msgpack under {run_dir}")
+        members = [Predictor.from_files(c, run_dir / "config.json")
+                   for c in ckpts]
+        states = jax.tree_util.tree_map(
+            lambda *leaves: np.stack(leaves), *(m.state for m in members))
+        first = members[0]
+        return cls(
+            first.cfg, states,
+            fold_names=tuple(c.parent.name.removeprefix("fold_test_on_")
+                             for c in ckpts),
+            original_fs=first.original_fs, target_fs=first.target_fs,
+            window_sec=first.window_sec, stride_sec=first.stride_sec,
+        )
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--checkpoint", required=True)
-    p.add_argument("--config", required=True)
+    p.add_argument("--checkpoint", help="one fold's best_model.msgpack")
+    p.add_argument("--config", help="the run's config.json")
+    p.add_argument("--run-dir",
+                   help="run directory (with --fold); replaces "
+                        "--checkpoint/--config")
+    p.add_argument("--fold", default="all",
+                   help="with --run-dir: a subject id, or 'all' for the "
+                        "vmapped fold ensemble (default)")
     p.add_argument("--pkl", required=True, help="raw WESAD S*.pkl recording")
     p.add_argument("--out", default=None, help="write JSON here (default stdout)")
     args = p.parse_args(argv)
-    predictor = Predictor.from_files(args.checkpoint, args.config)
+    if args.run_dir:
+        if args.checkpoint or args.config:
+            p.error("--run-dir replaces --checkpoint/--config")
+        predictor = EnsemblePredictor.from_run(args.run_dir, args.fold)
+    elif args.checkpoint and args.config:
+        predictor = Predictor.from_files(args.checkpoint, args.config)
+    else:
+        p.error("provide --run-dir, or --checkpoint with --config")
     result = predictor.predict_recording(args.pkl)
     text = result.to_json()
     if args.out:

@@ -83,6 +83,11 @@ class PredictionService:
                                  predictor.window_sec * predictor.target_fs)
             self.normalization = cfg.normalization
             self.backend = "checkpoint"
+        fold_names = getattr(predictor, "fold_names", None)
+        ensemble_folds = (getattr(predictor, "meta", None) or {}).get(
+            "ensemble_folds") if fold_names is None else list(fold_names)
+        if ensemble_folds:
+            self.backend += f"-ensemble[{len(ensemble_folds)}]"
         self.class_names = CLASS_NAMES[self.classification_mode]
 
     # -- model card -----------------------------------------------------------
@@ -245,21 +250,33 @@ def main(argv=None) -> None:
                    help="exported .mms artifact (experiments/export.py) — "
                         "serves without model code; replaces "
                         "--checkpoint/--config")
+    p.add_argument("--run-dir",
+                   help="run directory — serves the vmapped fold ensemble "
+                        "(or one fold via --fold); replaces "
+                        "--checkpoint/--config")
+    p.add_argument("--fold", default="all",
+                   help="with --run-dir: a subject id, or 'all' (default)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--batch-size", type=int, default=64)
     args = p.parse_args(argv)
 
+    if sum(map(bool, (args.artifact, args.run_dir,
+                      args.checkpoint or args.config))) > 1:
+        p.error("--artifact, --run-dir and --checkpoint/--config are "
+                "mutually exclusive")
     if args.artifact:
-        if args.checkpoint or args.config:
-            p.error("--artifact replaces --checkpoint/--config")
         from multimodalsignal_tpu.experiments.export import ExportedPredictor
 
         predictor = ExportedPredictor.load(args.artifact)
+    elif args.run_dir:
+        from multimodalsignal_tpu.experiments.predict import EnsemblePredictor
+
+        predictor = EnsemblePredictor.from_run(args.run_dir, args.fold)
     elif args.checkpoint and args.config:
         predictor = Predictor.from_files(args.checkpoint, args.config)
     else:
-        p.error("provide --artifact, or --checkpoint with --config")
+        p.error("provide --artifact, --run-dir, or --checkpoint with --config")
     service = PredictionService(predictor, batch_size=args.batch_size)
     # Compile + warm the batched forward before accepting traffic, so the
     # first request does not pay the jit compile.

@@ -1,0 +1,99 @@
+"""Fold-ensemble inference: all fold checkpoints stacked + vmapped into one
+forward with mean-probability voting, servable and exportable (the
+deployment answer to 'which of the 15 LOSO models do I ship?')."""
+
+import numpy as np
+import pytest
+
+from multimodalsignal_tpu.config import (
+    EarlyStoppingConfig,
+    ExperimentConfig,
+    ModelConfig,
+    TrainerConfig,
+)
+from multimodalsignal_tpu.experiments.loso import run_simple_experiment
+from multimodalsignal_tpu.experiments.predict import EnsemblePredictor, Predictor
+
+from tests.test_preprocess import preprocessed  # noqa: F401  (fixture reuse)
+from tests.conftest import SUBJECTS_SMALL
+
+C, T = 3, 7680
+
+
+@pytest.fixture(scope="module")
+def trained_run(preprocessed, tmp_path_factory):  # noqa: F811
+    run_dir = tmp_path_factory.mktemp("ensemble_run")
+    cfg = ExperimentConfig(
+        data_path=str(preprocessed / "chest_raw"),
+        subjects=tuple(SUBJECTS_SMALL[:3]),
+        channels_to_use=("chest_ECG", "chest_EDA", "chest_Resp"),
+        model=ModelConfig(cnn_out_channels=8, gru_hidden_size=8,
+                          gru_num_layers=1),
+        trainer=TrainerConfig(epochs=2, batch_size=16, learning_rate=3e-3,
+                              early_stopping=EarlyStoppingConfig(patience=5)),
+    )
+    run_simple_experiment(cfg, run_dir)
+    return run_dir
+
+
+@pytest.mark.slow
+def test_ensemble_is_mean_of_folds(trained_run):
+    ens = EnsemblePredictor.from_run(trained_run)
+    assert ens.fold_names == tuple(SUBJECTS_SMALL[:3])
+    x = np.random.default_rng(0).standard_normal((4, C, T)).astype(np.float32)
+    got = ens.predict_windows(x)
+    members = [Predictor.from_run(trained_run, fold=s).predict_windows(x)
+               for s in ens.fold_names]
+    np.testing.assert_allclose(got, np.mean(members, axis=0), atol=1e-5)
+    np.testing.assert_allclose(got.sum(axis=1), 1.0, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_from_run_single_fold_dispatch(trained_run):
+    one = EnsemblePredictor.from_run(trained_run, fold="S2")
+    assert isinstance(one, Predictor)
+    assert not isinstance(one, EnsemblePredictor)
+
+
+@pytest.mark.slow
+def test_ensemble_recording_and_cli(trained_run, wesad_root, tmp_path):
+    import json
+
+    from multimodalsignal_tpu.experiments.predict import main as predict_main
+
+    out = tmp_path / "preds.json"
+    predict_main(["--run-dir", str(trained_run),
+                  "--pkl", str(wesad_root / "S5" / "S5.pkl"),
+                  "--out", str(out)])
+    payload = json.loads(out.read_text())
+    assert len(payload["windows"]) > 0
+
+
+@pytest.mark.slow
+def test_ensemble_export_parity(trained_run, tmp_path):
+    from multimodalsignal_tpu.experiments.export import (
+        ExportedPredictor,
+        export_predictor,
+    )
+
+    ens = EnsemblePredictor.from_run(trained_run)
+    out = tmp_path / "ensemble.mms"
+    meta = export_predictor(ens, out, platforms=("cpu",))
+    assert meta["ensemble_folds"] == list(ens.fold_names)
+    ep = ExportedPredictor.load(out)
+    x = np.random.default_rng(1).standard_normal((3, C, T)).astype(np.float32)
+    np.testing.assert_allclose(ep.predict_windows(x),
+                               ens.predict_windows(x), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_ensemble_serving_card(trained_run):
+    from multimodalsignal_tpu.serving import PredictionService
+
+    svc = PredictionService(EnsemblePredictor.from_run(trained_run))
+    assert svc.health()["backend"] == "checkpoint-ensemble[3]"
+
+
+def test_from_run_missing_checkpoints(tmp_path):
+    with pytest.raises(FileNotFoundError, match="no fold_test_on_"):
+        EnsemblePredictor.from_run(tmp_path)
