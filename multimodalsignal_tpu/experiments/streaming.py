@@ -1,0 +1,157 @@
+"""Online (streaming) classification of a live multichannel signal feed.
+
+The reference and the batch inference path (`experiments/predict.py`) both
+assume a complete recording. A deployment watching a subject live cannot
+wait for the end: this module classifies windows as they complete.
+
+    sc = StreamingClassifier.for_predictor(predictor, calib_sec=120)
+    for chunk in feed:            # [n, C] float at the model's target rate,
+        for ev in sc.push(chunk): # channels in cfg.channels_to_use order
+            print(ev.t_start_sec, ev.label, ev.probs)
+
+Semantics (all documented divergences from the batch path are inherent to
+streaming, not implementation shortcuts):
+
+* Input is already at the model's target rate (e.g. 128 Hz). The batch
+  path FFT-resamples the *whole* recording (scipy parity); a streaming
+  front-end must resample in its acquisition pipeline — whole-signal FFT
+  resampling is not causally computable.
+* Per-subject normalization statistics cannot come from the full recording
+  (it hasn't happened yet). The stream opens with a **calibration period**
+  (`calib_sec`): those samples fix the per-channel stats (same transform
+  domain as training: chest_EDA log1p, eps 1e-8 —
+  `data/dataset.py::channel_norm_stats`), then every window — including the
+  ones inside the calibration span — is classified with the frozen stats.
+  Given identical stats, streaming and batch classification agree exactly
+  (tested window-for-window).
+* Events fire in order, one per stride, as soon as a window's last sample
+  arrives (plus calibration latency for the earliest windows).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from multimodalsignal_tpu.data.dataset import (
+    apply_channel_norm,
+    channel_norm_stats,
+)
+from multimodalsignal_tpu.experiments.predict import CLASS_NAMES
+
+
+@dataclass
+class StreamEvent:
+    """One classified window."""
+
+    index: int           # 0-based window number
+    t_start_sec: float
+    t_end_sec: float
+    label: str
+    probs: np.ndarray    # [num_classes]
+
+
+class StreamingClassifier:
+    """Incremental windowed classification with calibration-frozen stats."""
+
+    def __init__(self, predictor, channel_names: list[str],
+                 target_fs: int, window_sec: int, stride_sec: int,
+                 calib_sec: float = 120.0, batch_size: int = 64):
+        if calib_sec <= 0:
+            raise ValueError("calib_sec must be positive")
+        self.predictor = predictor
+        self.channel_names = list(channel_names)
+        self.target_fs = target_fs
+        self.window_samples = window_sec * target_fs
+        self.stride_samples = stride_sec * target_fs
+        self.calib_samples = int(round(calib_sec * target_fs))
+        self.batch_size = batch_size
+        self.class_names = CLASS_NAMES[predictor.cfg.classification_mode] \
+            if hasattr(predictor, "cfg") else tuple(predictor.class_names)
+        self._chunks: list[np.ndarray] = []
+        self._n = 0                 # total samples received
+        self._buf: np.ndarray | None = None
+        self._next_window = 0       # next window index to classify
+        self.stats: tuple[np.ndarray, np.ndarray] | None = None
+
+    @classmethod
+    def for_predictor(cls, predictor, calib_sec: float = 120.0,
+                      batch_size: int = 64) -> "StreamingClassifier":
+        """Wire geometry + channel order from a Predictor/EnsemblePredictor
+        (cfg-backed) or an export.ExportedPredictor (meta-backed)."""
+        meta = getattr(predictor, "meta", None)
+        if meta is not None:
+            return cls(predictor, list(meta["channels"]), meta["target_fs"],
+                       meta["window_sec"], meta["stride_sec"],
+                       calib_sec=calib_sec, batch_size=batch_size)
+        return cls(
+            predictor, list(predictor.cfg.channels_to_use),
+            predictor.target_fs, predictor.window_sec, predictor.stride_sec,
+            calib_sec=calib_sec, batch_size=batch_size,
+        )
+
+    # -- feed -------------------------------------------------------------------
+    def push(self, chunk: np.ndarray) -> list[StreamEvent]:
+        """Feed [n, C] samples; returns the windows completed by this chunk
+        (empty while the calibration span is still filling)."""
+        chunk = np.atleast_2d(np.asarray(chunk, dtype=np.float32))
+        if chunk.shape[1] != len(self.channel_names):
+            raise ValueError(
+                f"chunk has {chunk.shape[1]} channels, stream expects "
+                f"{len(self.channel_names)} ({self.channel_names})")
+        if not np.isfinite(chunk).all():
+            raise ValueError("chunk contains NaN/Inf")
+        self._chunks.append(chunk)
+        self._n += len(chunk)
+
+        if self.stats is None:
+            if self._n < self.calib_samples:
+                return []
+            # Calibration closes: freeze per-channel stats on exactly the
+            # calibration span (deterministic w.r.t. chunking).
+            self._consolidate()
+            self.stats = channel_norm_stats(
+                self._buf[: self.calib_samples], self.channel_names)
+        return self._classify_ready()
+
+    def flush(self) -> list[StreamEvent]:
+        """End of stream: classify any final complete windows (a partial
+        trailing window is dropped, matching the batch path's windowing)."""
+        if self.stats is None:
+            return []
+        return self._classify_ready()
+
+    # -- internals ---------------------------------------------------------------
+    def _consolidate(self) -> None:
+        parts = ([self._buf] if self._buf is not None else []) + self._chunks
+        self._buf = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        self._chunks = []
+
+    def _classify_ready(self) -> list[StreamEvent]:
+        self._consolidate()
+        events: list[StreamEvent] = []
+        windows = []
+        first = self._next_window
+        while (self._next_window * self.stride_samples
+               + self.window_samples) <= len(self._buf):
+            s = self._next_window * self.stride_samples
+            windows.append(self._buf[s : s + self.window_samples])
+            self._next_window += 1
+        if not windows:
+            return events
+        mean, std = self.stats
+        win = apply_channel_norm(np.stack(windows), self.channel_names,
+                                 mean, std)           # [k, T, C]
+        x = np.ascontiguousarray(win.transpose(0, 2, 1))  # [k, C, T]
+        probs = self.predictor.predict_windows(x, self.batch_size)
+        for j, p in enumerate(probs):
+            idx = first + j
+            s_sec = idx * self.stride_samples / self.target_fs
+            events.append(StreamEvent(
+                index=idx, t_start_sec=s_sec,
+                t_end_sec=s_sec + self.window_samples / self.target_fs,
+                label=self.class_names[int(p.argmax())],
+                probs=np.asarray(p),
+            ))
+        return events

@@ -1,0 +1,124 @@
+"""Streaming classification: chunked online inference must agree
+window-for-window with the batch path given the same (calibration-frozen)
+normalization statistics, regardless of how the feed is chunked."""
+
+import jax
+import numpy as np
+import pytest
+
+from multimodalsignal_tpu.config import ExperimentConfig, ModelConfig
+from multimodalsignal_tpu.data.dataset import (
+    apply_channel_norm,
+    channel_norm_stats,
+    normalize_subject,
+)
+from multimodalsignal_tpu.experiments.predict import Predictor
+from multimodalsignal_tpu.experiments.streaming import StreamingClassifier
+from multimodalsignal_tpu.models import build_model
+from multimodalsignal_tpu.train.optim import make_optimizer
+from multimodalsignal_tpu.train.trainer import init_train_state
+
+FS, WIN_S, STRIDE_S = 128, 60, 10
+C, T = 2, WIN_S * FS
+CHANNELS = ("chest_ECG", "chest_EDA")
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    cfg = ExperimentConfig(
+        channels_to_use=CHANNELS,
+        model=ModelConfig(cnn_out_channels=4, gru_hidden_size=4,
+                          gru_num_layers=1),
+    )
+    model = build_model(cfg.model, cfg.num_classes)
+    tx = make_optimizer(1e-3, 0.0)
+    state = init_train_state(model, jax.random.PRNGKey(3),
+                             np.zeros((1, C, T), np.float32), tx)
+    return Predictor(cfg, state)
+
+
+def _feed(total_sec=400, seed=0):
+    """[n, C] positive-ish signal so the EDA log1p path is exercised."""
+    rng = np.random.default_rng(seed)
+    n = total_sec * FS
+    ecg = rng.standard_normal(n)
+    eda = 2.0 + 0.5 * np.sin(np.arange(n) / FS) + 0.1 * rng.standard_normal(n)
+    return np.stack([ecg, eda], axis=1).astype(np.float32)
+
+
+def test_norm_stats_helpers_match_normalize_subject():
+    """channel_norm_stats + apply_channel_norm over a window batch's own
+    samples reproduce normalize_subject(scheme='all') exactly."""
+    rng = np.random.default_rng(1)
+    x = np.abs(rng.standard_normal((5, 64, C))).astype(np.float64)
+    want = normalize_subject(x, np.ones(5, np.int64), list(CHANNELS), "all",
+                             use_native=False)
+    mean, std = channel_norm_stats(x.reshape(-1, C), list(CHANNELS))
+    got = apply_channel_norm(x, list(CHANNELS), mean, std)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_stream_matches_batch_with_same_stats(predictor):
+    feed = _feed()
+    calib_sec = 120
+    sc = StreamingClassifier.for_predictor(predictor, calib_sec=calib_sec)
+    events = []
+    rng = np.random.default_rng(2)
+    i = 0
+    while i < len(feed):  # ragged chunks: 0.4 s .. 37 s
+        n = int(rng.uniform(0.4, 37) * FS)
+        events += sc.push(feed[i : i + n])
+        i += n
+    events += sc.flush()
+
+    # Batch reference: same frozen calibration stats, same windowing.
+    mean, std = channel_norm_stats(feed[: calib_sec * FS], list(CHANNELS))
+    n_win = (len(feed) - WIN_S * FS) // (STRIDE_S * FS) + 1
+    wins = np.stack([feed[k * STRIDE_S * FS : k * STRIDE_S * FS + WIN_S * FS]
+                     for k in range(n_win)])
+    x = np.ascontiguousarray(
+        apply_channel_norm(wins, list(CHANNELS), mean, std).transpose(0, 2, 1))
+    want = predictor.predict_windows(x)
+
+    assert [e.index for e in events] == list(range(n_win))
+    np.testing.assert_allclose(np.stack([e.probs for e in events]), want,
+                               atol=1e-5)
+    assert events[0].t_start_sec == 0.0
+    assert events[1].t_start_sec == STRIDE_S
+    assert events[0].t_end_sec == WIN_S
+    assert all(e.label in sc.class_names for e in events)
+
+
+def test_chunking_invariance(predictor):
+    """One giant chunk and sample-dribble chunking give identical events."""
+    feed = _feed(total_sec=200, seed=3)
+    one = StreamingClassifier.for_predictor(predictor, calib_sec=60)
+    ev_one = one.push(feed) + one.flush()
+
+    dribble = StreamingClassifier.for_predictor(predictor, calib_sec=60)
+    ev_dots = []
+    for i in range(0, len(feed), 1111):
+        ev_dots += dribble.push(feed[i : i + 1111])
+    ev_dots += dribble.flush()
+
+    assert len(ev_one) == len(ev_dots) > 0
+    np.testing.assert_allclose(np.stack([e.probs for e in ev_one]),
+                               np.stack([e.probs for e in ev_dots]), atol=0)
+
+
+def test_no_events_before_calibration(predictor):
+    sc = StreamingClassifier.for_predictor(predictor, calib_sec=90)
+    feed = _feed(total_sec=89, seed=4)
+    assert sc.push(feed) == []
+    assert sc.stats is None
+    assert sc.flush() == []  # never calibrated -> nothing classified
+
+
+def test_input_validation(predictor):
+    sc = StreamingClassifier.for_predictor(predictor, calib_sec=10)
+    with pytest.raises(ValueError, match="channels"):
+        sc.push(np.zeros((5, C + 1), np.float32))
+    with pytest.raises(ValueError, match="NaN"):
+        sc.push(np.full((5, C), np.nan, np.float32))
+    with pytest.raises(ValueError, match="calib_sec"):
+        StreamingClassifier.for_predictor(predictor, calib_sec=0)
