@@ -34,16 +34,21 @@ import numpy as np
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--run-dir", required=True)
-    p.add_argument("--fold", required=True)
+    p.add_argument("--fold", required=True,
+                   help="subject id, or 'all' for the vmapped fold ensemble")
     p.add_argument("--pkl", required=True)
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--iters", type=int, default=300)
     p.add_argument("--latency-iters", type=int, default=50)
     args = p.parse_args()
 
-    from multimodalsignal_tpu.experiments.predict import Predictor
+    from multimodalsignal_tpu.experiments.predict import EnsemblePredictor
 
-    predictor = Predictor.from_run(Path(args.run_dir), fold=args.fold)
+    predictor = EnsemblePredictor.from_run(Path(args.run_dir), fold=args.fold)
+    n_folds = len(getattr(predictor, "fold_names", ())) or 1
+    if n_folds > 1:
+        print(json.dumps({"metric": "serving backend",
+                          "value": n_folds, "unit": "folds (vmapped ensemble)"}))
 
     # --- host pipeline -----------------------------------------------------
     t0 = time.perf_counter()
