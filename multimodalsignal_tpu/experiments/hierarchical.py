@@ -79,7 +79,10 @@ def run_hierarchical_experiment(
     base = cfg.base
     run_output_dir = Path(run_output_dir)
     run_output_dir.mkdir(parents=True, exist_ok=True)
-    save_config(cfg, run_output_dir / "config.json")
+    from multimodalsignal_tpu.data.dataset import read_preprocess_meta
+
+    save_config(cfg, run_output_dir / "config.json",
+                extra={"preprocess_meta": read_preprocess_meta(base.data_path)})
     if all_channel_names is None:
         all_channel_names = read_channel_names(base.data_path)
 

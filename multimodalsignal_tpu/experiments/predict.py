@@ -171,9 +171,13 @@ class Predictor:
 
     # -- constructors ---------------------------------------------------------
     @classmethod
-    def from_files(cls, checkpoint: Path | str, config: Path | str) -> "Predictor":
-        raw = json.loads(Path(config).read_text())
-        cfg = config_from_dict(ExperimentConfig, raw)
+    def from_cfg_and_checkpoint(cls, cfg: ExperimentConfig,
+                                checkpoint: Path | str,
+                                preprocess_meta: dict | None = None) -> "Predictor":
+        """Build from an in-memory config + checkpoint file. preprocess_meta
+        (the run's embedded _preprocess_meta.json) carries the training-time
+        resample/window/stride so serving replays them instead of assuming
+        700->128 Hz / 60 s / 10 s."""
         model = build_model(cfg.model, cfg.num_classes)
         tx = make_optimizer(cfg.trainer.learning_rate, cfg.trainer.weight_decay)
         # Template for restore: param shapes are T-independent, any window
@@ -181,11 +185,7 @@ class Predictor:
         sample = jnp.zeros((1, len(cfg.channels_to_use), 128 * 60), jnp.float32)
         template = init_train_state(model, jax.random.PRNGKey(0), sample, tx)
         state = restore_state(checkpoint, template)
-        # Windowing parameters travel with the run (the orchestrators embed
-        # the data's _preprocess_meta.json into config.json) so serving
-        # replays the training-time resample/window/stride instead of
-        # assuming 700->128 Hz / 60 s / 10 s.
-        meta = raw.get("preprocess_meta") or {}
+        meta = preprocess_meta or {}
         return cls(
             cfg, state,
             original_fs=int(meta.get("original_fs", 700)),
@@ -193,6 +193,13 @@ class Predictor:
             window_sec=int(meta.get("window_sec", 60)),
             stride_sec=int(meta.get("stride_sec", 10)),
         )
+
+    @classmethod
+    def from_files(cls, checkpoint: Path | str, config: Path | str) -> "Predictor":
+        raw = json.loads(Path(config).read_text())
+        cfg = config_from_dict(ExperimentConfig, raw)
+        return cls.from_cfg_and_checkpoint(cfg, checkpoint,
+                                           raw.get("preprocess_meta"))
 
     @classmethod
     def from_run(cls, run_dir: Path | str, fold: str) -> "Predictor":
@@ -287,6 +294,118 @@ class EnsemblePredictor(Predictor):
         )
 
 
+class HierarchicalPredictor:
+    """Composed two-stage ternary inference from a trained hierarchical run
+    (the reference's flagship mode, main.py:159-247).
+
+    M1 (stress vs non-stress) and M2 (amusement vs baseline) each see their
+    own channel subset sliced from union-channel windows. Labels replicate
+    the reference's hard gating exactly (main.py:241-244): stress when M1
+    says stress, else M2's class. Probabilities are the product-rule
+    composition [p1(non)*p2(base), p1(non)*p2(fun), p1(stress)] — coherent
+    posteriors under stage independence; note their argmax can differ from
+    the gated label near the M1 boundary (the gate is the parity behavior,
+    the probs carry calibrated confidence).
+    """
+
+    def __init__(self, m1: Predictor, m2: Predictor):
+        from multimodalsignal_tpu.experiments.hierarchical import _ordered_union
+
+        self.m1, self.m2 = m1, m2
+        union = _ordered_union(m1.cfg.channels_to_use, m2.cfg.channels_to_use)
+        self.channels = tuple(union)
+        self._i1 = jnp.asarray([union.index(c) for c in m1.cfg.channels_to_use],
+                               jnp.int32)
+        self._i2 = jnp.asarray([union.index(c) for c in m2.cfg.channels_to_use],
+                               jnp.int32)
+        self.class_names = CLASS_NAMES["ternary"]
+        # Geometry + normalization travel with the stages (same run).
+        self.target_fs = m1.target_fs
+        self.original_fs = m1.original_fs
+        self.window_sec = m1.window_sec
+        self.stride_sec = m1.stride_sec
+        self.normalization = m1.cfg.normalization
+        self._predict = jax.jit(self._predict_fn)
+
+    def _predict_fn(self, p1, bs1, p2, bs2, x):
+        """x [B, C_union, T] -> (probs [B, 3], gated labels [B])."""
+        x1 = jnp.take(x, self._i1, axis=1)
+        x2 = jnp.take(x, self._i2, axis=1)
+        pr1 = jax.nn.softmax(self.m1.model.apply(
+            {"params": p1, "batch_stats": bs1}, x1, train=False), axis=-1)
+        pr2 = jax.nn.softmax(self.m2.model.apply(
+            {"params": p2, "batch_stats": bs2}, x2, train=False), axis=-1)
+        probs = jnp.stack(
+            [pr1[:, 0] * pr2[:, 0], pr1[:, 0] * pr2[:, 1], pr1[:, 1]], axis=-1)
+        labels = jnp.where(jnp.argmax(pr1, axis=-1) == 1, 2,
+                           jnp.argmax(pr2, axis=-1))
+        return probs, labels
+
+    @classmethod
+    def from_run(cls, run_dir: Path | str, fold: str) -> "HierarchicalPredictor":
+        """Load one fold's M1+M2 checkpoints from a hierarchical run dir
+        (serial or sharded layout: fold_test_on_<fold>/model_m{1,2}/)."""
+        import dataclasses as _dc
+
+        from multimodalsignal_tpu.config import HierarchicalConfig
+
+        run_dir = Path(run_dir)
+        raw = json.loads((run_dir / "config.json").read_text())
+        hcfg = config_from_dict(HierarchicalConfig, raw)
+        meta = raw.get("preprocess_meta")
+        fold_dir = run_dir / f"fold_test_on_{fold}"
+
+        def stage(channels, model_cfg, mode, sub):
+            cfg = _dc.replace(
+                hcfg.base, channels_to_use=tuple(channels), model=model_cfg,
+                classification_mode=mode, num_classes=2,
+            )
+            return Predictor.from_cfg_and_checkpoint(
+                cfg, fold_dir / sub / "best_model.msgpack", meta)
+
+        return cls(
+            stage(hcfg.m1_channels, hcfg.m1_model, "stress_binary", "model_m1"),
+            stage(hcfg.m2_channels, hcfg.m2_model, "amusement_binary", "model_m2"),
+        )
+
+    # -- inference (Predictor-shaped surface over the union channels) ---------
+    def windows_from_recording(self, pkl_path) -> tuple[np.ndarray, np.ndarray]:
+        return recording_to_windows(
+            pkl_path, list(self.channels), self.normalization,
+            self.original_fs, self.target_fs, self.window_sec, self.stride_sec,
+        )
+
+    def predict_windows_labeled(self, x: np.ndarray, batch_size: int = 64
+                                ) -> tuple[np.ndarray, np.ndarray]:
+        """[N, C_union, T] -> (product probs [N, 3], gated labels [N])."""
+        n = x.shape[0]
+        probs, labels = [], []
+        for i in range(0, n, batch_size):
+            xb = x[i : i + batch_size]
+            pad = batch_size - xb.shape[0]
+            if pad:
+                xb = np.concatenate(
+                    [xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
+            p, l = self._predict(
+                self.m1.state.params, self.m1.state.batch_stats,
+                self.m2.state.params, self.m2.state.batch_stats,
+                jnp.asarray(xb))
+            probs.append(np.asarray(p)[: batch_size - pad])
+            labels.append(np.asarray(l)[: batch_size - pad])
+        return np.concatenate(probs), np.concatenate(labels)
+
+    def predict_windows(self, x: np.ndarray, batch_size: int = 64) -> np.ndarray:
+        return self.predict_windows_labeled(x, batch_size)[0]
+
+    def predict_recording(self, pkl_path) -> PredictionResult:
+        x, starts_sec = self.windows_from_recording(pkl_path)
+        probs, labels = self.predict_windows_labeled(x)
+        return PredictionResult(
+            starts_sec=starts_sec, labels=labels, probs=probs,
+            class_names=self.class_names,
+        )
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", help="one fold's best_model.msgpack")
@@ -303,7 +422,14 @@ def main(argv=None) -> None:
     if args.run_dir:
         if args.checkpoint or args.config:
             p.error("--run-dir replaces --checkpoint/--config")
-        predictor = EnsemblePredictor.from_run(args.run_dir, args.fold)
+        raw = json.loads((Path(args.run_dir) / "config.json").read_text())
+        if "m1_channels" in raw:  # hierarchical run: composed two-stage
+            if args.fold == "all":
+                p.error("hierarchical runs need --fold <subject> "
+                        "(per-fold M1+M2 composition)")
+            predictor = HierarchicalPredictor.from_run(args.run_dir, args.fold)
+        else:
+            predictor = EnsemblePredictor.from_run(args.run_dir, args.fold)
     elif args.checkpoint and args.config:
         predictor = Predictor.from_files(args.checkpoint, args.config)
     else:

@@ -20,7 +20,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from multimodalsignal_tpu.config import HierarchicalConfig, save_config
-from multimodalsignal_tpu.data.dataset import pack_corpus, read_channel_names
+from multimodalsignal_tpu.data.dataset import (
+    pack_corpus,
+    read_channel_names,
+    read_preprocess_meta,
+)
 from multimodalsignal_tpu.experiments.hierarchical import (
     HierarchicalFoldResult,
     _ordered_union,
@@ -28,6 +32,7 @@ from multimodalsignal_tpu.experiments.hierarchical import (
 )
 from multimodalsignal_tpu.models import build_model
 from multimodalsignal_tpu.parallel.fold_sweep import (
+    _export_fold_checkpoint,
     _sequential_grid,
     build_fold_batch,
     make_fold_mesh,
@@ -46,7 +51,8 @@ def run_hierarchical_sharded(
     t0 = time.time()
     run_output_dir = Path(run_output_dir)
     run_output_dir.mkdir(parents=True, exist_ok=True)
-    save_config(cfg, run_output_dir / "config.json")
+    save_config(cfg, run_output_dir / "config.json",
+                extra={"preprocess_meta": read_preprocess_meta(base.data_path)})
     if all_channel_names is None:
         all_channel_names = read_channel_names(base.data_path)
 
@@ -68,12 +74,12 @@ def run_hierarchical_sharded(
             num_classes=2, model=model_cfg,
         )
         result = run_fold_sweep(corpus, fb, point_cfg, mesh)
-        return result, fb, mesh
+        return result, fb, mesh, point_cfg
 
-    m1_result, fb1, mesh = sweep(cfg.m1_channels, "stress_binary",
-                                 cfg.m1_model, "M1")
-    m2_result, _, _ = sweep(cfg.m2_channels, "amusement_binary",
-                            cfg.m2_model, "M2")
+    m1_result, fb1, mesh, m1_cfg = sweep(cfg.m1_channels, "stress_binary",
+                                         cfg.m1_model, "M1")
+    m2_result, _, _, m2_cfg = sweep(cfg.m2_channels, "amusement_binary",
+                                    cfg.m2_model, "M2")
 
     # Composed ternary evaluation over the union-channel test windows.
     union = _ordered_union(cfg.m1_channels, cfg.m2_channels)
@@ -143,6 +149,27 @@ def run_hierarchical_sharded(
             wall_s=float("nan"),
         ))
         all_preds_cm += cms[i]
+
+    # Export per-fold M1/M2 best-restored checkpoints in the serial path's
+    # layout (fold_test_on_S*/model_m{1,2}/best_model.msgpack, experiments/
+    # hierarchical.py via Trainer) so predict.HierarchicalPredictor.from_run
+    # deploys sharded runs too. One bulk device->host transfer per stage.
+    host = jax.device_get({
+        "p1": m1_result.final_params, "b1": m1_result.final_batch_stats,
+        "p2": m2_result.final_params, "b2": m2_result.final_batch_stats,
+    })
+    from concurrent.futures import ThreadPoolExecutor
+
+    def export_fold(i_subject):
+        i, subject = i_subject
+        fold_dir = run_output_dir / f"fold_test_on_{subject}"
+        _export_fold_checkpoint(fold_dir / "model_m1", host["p1"], host["b1"],
+                                i, m1_cfg)
+        _export_fold_checkpoint(fold_dir / "model_m2", host["p2"], host["b2"],
+                                i, m2_cfg)
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(export_fold, enumerate(fb_u.test_subjects)))
 
     summary = _write_summary_from_cms(run_output_dir, results, all_preds_cm)
     summary["sweep_wall_s"] = time.time() - t0

@@ -227,6 +227,38 @@ def test_hierarchical_sharded(preprocessed, tmp_path):  # noqa: F811
     for r in results:
         assert r.num_test_windows > 0
         assert 0.0 <= r.composed_accuracy <= 1.0
+        # Both stages export serial-layout checkpoints per fold.
+        for sub in ("model_m1", "model_m2"):
+            assert (tmp_path / f"fold_test_on_{r.subject}" / sub /
+                    "best_model.msgpack").exists()
+
+    # The exported run deploys: composed ternary inference from checkpoints
+    # must replicate the reference gating (stress if M1 says stress, else
+    # M2) exactly against the two stage predictors run by hand.
+    from multimodalsignal_tpu.experiments.predict import (
+        HierarchicalPredictor,
+        Predictor,
+    )
+
+    hp = HierarchicalPredictor.from_run(tmp_path, fold="S2")
+    assert hp.channels == ("chest_ECG", "chest_EDA", "chest_Resp")
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((7, 3, 7680)).astype(np.float32)
+    probs, labels = hp.predict_windows_labeled(x, batch_size=4)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-5)
+
+    m1 = Predictor.from_cfg_and_checkpoint(
+        hp.m1.cfg, tmp_path / "fold_test_on_S2" / "model_m1" / "best_model.msgpack")
+    m2 = Predictor.from_cfg_and_checkpoint(
+        hp.m2.cfg, tmp_path / "fold_test_on_S2" / "model_m2" / "best_model.msgpack")
+    p1 = m1.predict_windows(x[:, [0, 1]])
+    p2 = m2.predict_windows(x[:, [1, 2]])
+    want = np.where(p1.argmax(-1) == 1, 2, p2.argmax(-1))
+    np.testing.assert_array_equal(labels, want)
+    np.testing.assert_allclose(
+        probs,
+        np.stack([p1[:, 0] * p2[:, 0], p1[:, 0] * p2[:, 1], p1[:, 1]], -1),
+        atol=1e-5)
 
 
 @pytest.mark.slow
