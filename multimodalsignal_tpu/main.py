@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override the run output root")
     p.add_argument("--profile-dir", type=Path, default=None,
                    help="write a jax.profiler device trace of the sharded sweep")
+    p.add_argument("--seeds", nargs="+", type=int, default=None,
+                   help="seed-replicated sweep: run the full LOSO at each "
+                        "seed as ONE sharded program (folds x seeds lanes) "
+                        "and report training-noise error bars "
+                        "(parallel/replicated_sweep.py; sharded only)")
     return p
 
 
@@ -108,6 +113,16 @@ def main(argv=None) -> None:
 
     execution = args.execution or cfg.fold_execution
     validate_experiment(cfg, fold_execution=execution)
+    if args.seeds:
+        if execution != "sharded":
+            raise SystemExit("--seeds requires --execution sharded "
+                             "(the replicated sweep is a sharded program)")
+        from multimodalsignal_tpu.parallel.replicated_sweep import (
+            run_replicated_experiment,
+        )
+
+        run_replicated_experiment(cfg, tuple(args.seeds), run_dir)
+        return
     if execution == "sharded":
         from multimodalsignal_tpu.parallel.fold_sweep import run_sharded_experiment
 

@@ -475,6 +475,7 @@ def run_fold_sweep(
     dispatch: str | None = None,
     run_dir: Path | str | None = None,
     abort_after_epoch: int | None = None,
+    seeds: tuple[int, ...] | None = None,
 ) -> SweepResult:
     """Run every fold as one sharded, vmapped computation; returns per-fold
     stacked SweepResult (fold axis first, padded folds included).
@@ -519,8 +520,18 @@ def run_fold_sweep(
 
     # Per-fold independent init (reference builds a fresh model per fold,
     # main.py:116-117); BN stats and Adam moments stay fold-local.
-    base_rng = jax.random.PRNGKey(cfg.seed)
-    fold_rngs = jax.random.split(base_rng, num_folds)
+    if seeds is None:
+        fold_rngs = jax.random.split(jax.random.PRNGKey(cfg.seed), num_folds)
+    else:
+        # Seed-replicated sweep (replicated_sweep.py): the fold axis holds
+        # len(seeds) tiled copies of the fold batch. Each seed group gets
+        # exactly the RNG streams a plain run with cfg.seed=s would get, so
+        # group s of the replicated sweep is bit-identical to that run.
+        per = num_folds // len(seeds)
+        assert per * len(seeds) == num_folds, (num_folds, seeds)
+        fold_rngs = jnp.concatenate([
+            jax.random.split(jax.random.PRNGKey(s), per) for s in seeds
+        ])
     sample = _take(x, jnp.arange(1))
 
     def init_fold(rng):

@@ -1,0 +1,212 @@
+"""Seed-replicated LOSO sweep: folds x seeds as one sharded computation.
+
+The reference reports a single LOSO run at one global seed (reference
+main.py:60 SEED=42, main.py:71-72) — its headline 82.44% carries no error bar
+over training stochasticity (init + shuffle + dropout). Here the cross
+product {LOSO folds} x {seeds} runs as ONE vmapped/sharded program: the fold
+axis of the existing sweep (fold_sweep.py) is tiled with S copies of the fold
+batch, and each copy gets the PRNG streams of a plain run at that seed —
+so every seed group is bit-identical to the corresponding single-seed sweep
+(pinned by tests/test_fold_sweep.py::test_replicated_sweep_matches_single_seed_runs).
+
+This is also the scaling story past 15 folds: a v4-32 has more chips than
+LOSO folds, and the seed axis multiplies independent lanes (15 folds x 4
+seeds = 60 lanes) with zero cross-lane communication until the final metric
+gather.
+
+Subject splits stay FIXED across seeds (the sklearn-parity seed-42 split,
+experiments/splits.py): the replication isolates *training* noise, which is
+the error bar a claimed accuracy difference between model variants must
+clear.
+
+CLI::
+
+    python -m multimodalsignal_tpu.main --execution sharded --seeds 42 43 44
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from multimodalsignal_tpu.config import ExperimentConfig, save_config
+from multimodalsignal_tpu.data.dataset import (
+    pack_corpus,
+    pack_hybrid_corpus,
+    read_channel_names,
+    read_preprocess_meta,
+)
+from multimodalsignal_tpu.parallel.fold_sweep import (
+    FoldBatch,
+    build_fold_batch,
+    run_fold_sweep,
+)
+from multimodalsignal_tpu.train import metrics as M
+
+
+def replicate_fold_batch(fb: FoldBatch, num_seeds: int) -> FoldBatch:
+    """Tile every fold-axis array S times: lane s*Fp+f is fold f under seed
+    group s. The index pools are seed-invariant (splits are fixed); only the
+    RNG streams differ per group (run_fold_sweep's `seeds` argument)."""
+    tile = lambda a: np.concatenate([a] * num_seeds, axis=0)
+    return FoldBatch(
+        train_pool=tile(fb.train_pool), n_train=tile(fb.n_train),
+        val_pool=tile(fb.val_pool), n_val=tile(fb.n_val),
+        test_pool=tile(fb.test_pool), n_test=tile(fb.n_test),
+        fold_valid=tile(fb.fold_valid),
+        test_subjects=fb.test_subjects,
+    )
+
+
+def make_replicated_mesh(
+    num_folds: int, num_seeds: int, devices=None
+) -> tuple[Mesh, int]:
+    """1-D `fold` mesh; returns (mesh, per-group padded fold count Fp) with
+    Fp*num_seeds divisible by the device count (lanes shard evenly)."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    d = len(devices)
+    fp = num_folds
+    while (fp * num_seeds) % d:
+        fp += 1
+    return Mesh(devices, axis_names=("fold",)), fp
+
+
+def summarize_replicated(result, fb: FoldBatch, seeds: tuple[int, ...],
+                         per_group: int) -> dict:
+    """Variance decomposition of the stacked [S*Fp, ...] sweep result.
+
+    Returns per-seed fold accuracies/F1s plus the numbers a paper needs:
+    grand mean, the across-seed std of the per-seed means (training-noise
+    error bar on the headline number), and the mean per-fold across-seed
+    std (how seed-sensitive individual subjects are)."""
+    num_real = len(fb.test_subjects)
+    acc = np.zeros((len(seeds), num_real))
+    f1 = np.zeros((len(seeds), num_real))
+    for s in range(len(seeds)):
+        for f in range(num_real):
+            cm = np.asarray(result.test_cm)[s * per_group + f]
+            acc[s, f] = float(M.accuracy_from_cm(cm))
+            f1[s, f] = float(M.weighted_f1_from_cm(cm))
+    seed_means = acc.mean(axis=1)
+    return {
+        "seeds": list(seeds),
+        "subjects": list(fb.test_subjects),
+        "accuracy": acc.tolist(),
+        "f1": f1.tolist(),
+        "per_seed_mean_accuracy": seed_means.tolist(),
+        "per_seed_mean_f1": f1.mean(axis=1).tolist(),
+        "grand_mean_accuracy": float(acc.mean()),
+        "grand_mean_f1": float(f1.mean()),
+        # ddof=1: an error bar from S samples of the run-level mean.
+        "seed_std_of_mean_accuracy": float(seed_means.std(ddof=1))
+        if len(seeds) > 1 else 0.0,
+        "mean_fold_seed_std": float(acc.std(axis=0, ddof=1).mean())
+        if len(seeds) > 1 else 0.0,
+        "fold_std_of_mean_accuracy": float(acc.mean(axis=0).std()),
+    }
+
+
+def write_seed_summary(path: Path, cfg: ExperimentConfig, summary: dict) -> None:
+    seeds = summary["seeds"]
+    lines = [
+        "Seed-replicated LOSO sweep summary",
+        "=" * 60,
+        f"model: {cfg.model.name} | channels: {list(cfg.channels_to_use)} | "
+        f"mode: {cfg.classification_mode}",
+        f"seeds: {seeds} (subject splits fixed; init/shuffle/dropout vary)",
+        "",
+        f"{'seed':>6} {'mean accuracy':>16} {'mean weighted F1':>18}",
+        "-" * 60,
+    ]
+    for i, s in enumerate(seeds):
+        lines.append(
+            f"{s:>6} {summary['per_seed_mean_accuracy'][i]:>16.4f} "
+            f"{summary['per_seed_mean_f1'][i]:>18.4f}"
+        )
+    lines += [
+        "-" * 60,
+        f"grand mean accuracy: {summary['grand_mean_accuracy']:.4f}",
+        f"  across-seed std of the run mean (training noise): "
+        f"±{summary['seed_std_of_mean_accuracy']:.4f}",
+        f"  across-fold std of the seed-averaged accuracy (subject shift): "
+        f"±{summary['fold_std_of_mean_accuracy']:.4f}",
+        f"  mean per-fold across-seed std: "
+        f"±{summary['mean_fold_seed_std']:.4f}",
+        f"grand mean weighted F1: {summary['grand_mean_f1']:.4f}",
+    ]
+    path.write_text("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+def run_replicated_experiment(
+    cfg: ExperimentConfig,
+    seeds: tuple[int, ...],
+    run_output_dir: Path | str,
+    all_channel_names: list[str] | None = None,
+    devices=None,
+) -> dict:
+    """Pack once, sweep folds x seeds as one sharded program, write
+    seed_summary.{txt,json} + the per-(seed,fold) accuracy matrix."""
+    from multimodalsignal_tpu.config import validate_experiment
+
+    t0 = time.time()
+    validate_experiment(cfg, fold_execution="sharded")
+    hybrid = cfg.model.name == "hybrid_cnn_gru"
+    raw_path = cfg.raw_align_path if hybrid else cfg.data_path
+    run_output_dir = Path(run_output_dir)
+    run_output_dir.mkdir(parents=True, exist_ok=True)
+    save_config(cfg, run_output_dir / "config.json",
+                extra={"preprocess_meta": read_preprocess_meta(raw_path),
+                       "replicate_seeds": list(seeds)})
+    if all_channel_names is None:
+        all_channel_names = read_channel_names(raw_path)
+
+    if hybrid:
+        corpus = pack_hybrid_corpus(
+            cfg.raw_align_path, cfg.feature_path, list(cfg.subjects),
+            list(cfg.channels_to_use), all_channel_names,
+            features_to_use=list(cfg.features_to_use) or None,
+            classification_mode=cfg.classification_mode,
+            normalization=cfg.normalization,
+        )
+    else:
+        corpus = pack_corpus(
+            cfg.data_path, list(cfg.subjects), list(cfg.channels_to_use),
+            all_channel_names, cfg.classification_mode, cfg.normalization,
+        )
+    mesh, per_group = make_replicated_mesh(
+        len(corpus.subjects), len(seeds), devices
+    )
+    fb = build_fold_batch(corpus, list(cfg.subjects), cfg.val_fraction,
+                          cfg.seed, pad_folds_to=per_group)
+    rfb = replicate_fold_batch(fb, len(seeds))
+    print("=" * 80)
+    print(f"Seed-replicated sweep: {len(fb.test_subjects)} folds x "
+          f"{len(seeds)} seeds = {len(fb.test_subjects) * len(seeds)} lanes "
+          f"(padded to {rfb.train_pool.shape[0]}) over {mesh.devices.size} "
+          f"devices [{mesh.devices.flat[0].platform}]")
+    print(f"  staging: {time.time() - t0:.1f}s")
+    print("=" * 80)
+
+    result = run_fold_sweep(corpus, rfb, cfg, mesh, seeds=tuple(seeds))
+
+    summary = summarize_replicated(result, fb, tuple(seeds), per_group)
+    summary["wall_s"] = time.time() - t0
+    write_seed_summary(run_output_dir / "seed_summary.txt", cfg, summary)
+    (run_output_dir / "seed_summary.json").write_text(
+        json.dumps(summary, indent=2) + "\n"
+    )
+    np.savez(
+        run_output_dir / "seed_fold_matrix.npz",
+        accuracy=np.asarray(summary["accuracy"]),
+        f1=np.asarray(summary["f1"]),
+        seeds=np.asarray(seeds),
+        subjects=np.asarray(fb.test_subjects),
+    )
+    print(f"\nReplicated sweep wall-clock: {summary['wall_s']:.2f}s")
+    return summary

@@ -15,6 +15,7 @@ from multimodalsignal_tpu.config import (
 )
 from multimodalsignal_tpu.data.dataset import pack_corpus
 from multimodalsignal_tpu.parallel.fold_sweep import (
+    FoldBatch,
     _sequential_grid,
     _shuffled_grid,
     build_fold_batch,
@@ -399,3 +400,113 @@ def test_sweep_class_weights_change_training():
                            np.asarray(r_cw.history.train_loss))
     assert not np.array_equal(np.asarray(r_plain.test_cm),
                               np.asarray(r_cw.test_cm))
+
+
+def test_replicate_fold_batch_and_mesh():
+    """Host-side replication math: tiling, padding, divisibility."""
+    from multimodalsignal_tpu.parallel.replicated_sweep import (
+        make_replicated_mesh,
+        replicate_fold_batch,
+    )
+
+    mesh, per_group = make_replicated_mesh(3, 2, devices=jax.devices()[:8])
+    assert (per_group * 2) % mesh.devices.size == 0
+    assert per_group >= 3
+
+    fb = FoldBatch(
+        train_pool=np.arange(8, dtype=np.int32).reshape(4, 2),
+        n_train=np.asarray([2, 2, 1, 2], np.int32),
+        val_pool=np.arange(4, dtype=np.int32).reshape(4, 1),
+        n_val=np.ones(4, np.int32),
+        test_pool=np.arange(4, dtype=np.int32).reshape(4, 1),
+        n_test=np.ones(4, np.int32),
+        fold_valid=np.asarray([True, True, True, False]),
+        test_subjects=("S2", "S3", "S4"),
+    )
+    rfb = replicate_fold_batch(fb, 3)
+    assert rfb.train_pool.shape == (12, 2)
+    for g in range(3):
+        np.testing.assert_array_equal(rfb.train_pool[g * 4:(g + 1) * 4],
+                                      fb.train_pool)
+        np.testing.assert_array_equal(rfb.fold_valid[g * 4:(g + 1) * 4],
+                                      fb.fold_valid)
+    assert rfb.test_subjects == fb.test_subjects
+
+
+@pytest.mark.slow
+def test_replicated_sweep_matches_single_seed_runs(tmp_path):
+    """Seed-replicated sweep (folds x seeds lanes): every seed group must be
+    bit-identical to the single-seed sweep at that seed, groups must differ
+    from each other, and the summary's variance decomposition must agree
+    with the per-lane confusion matrices."""
+    from jax.sharding import Mesh
+
+    from multimodalsignal_tpu.data.dataset import PackedCorpus
+    from multimodalsignal_tpu.parallel.fold_sweep import run_fold_sweep
+    from multimodalsignal_tpu.parallel.replicated_sweep import (
+        make_replicated_mesh,
+        replicate_fold_batch,
+        summarize_replicated,
+    )
+
+    rng_np = np.random.default_rng(3)
+    s, wmax, c, t = 4, 10, 2, 64
+    y = rng_np.integers(0, 2, (s, wmax)).astype(np.int32)
+    corpus = PackedCorpus(
+        x=(rng_np.standard_normal((s, wmax, c, t))
+           + 0.6 * y[..., None, None]).astype(np.float32),
+        y=y,
+        mask=np.ones((s, wmax), dtype=bool),
+        subjects=tuple(f"S{i+2}" for i in range(s)),
+    )
+    cfg = ExperimentConfig(
+        subjects=corpus.subjects,
+        channels_to_use=("chest_ECG", "chest_EDA"),
+        model=ModelConfig(cnn_out_channels=4, gru_hidden_size=4,
+                          gru_num_layers=1),
+        trainer=TrainerConfig(epochs=2, batch_size=8,
+                              early_stopping=EarlyStoppingConfig(patience=5)),
+    )
+    seeds = (42, 7)
+    mesh, per_group = make_replicated_mesh(s, len(seeds),
+                                           devices=jax.devices()[:8])
+    fb = build_fold_batch(corpus, list(corpus.subjects), seed=cfg.seed,
+                          pad_folds_to=per_group)
+    rfb = replicate_fold_batch(fb, len(seeds))
+    assert rfb.train_pool.shape[0] == per_group * len(seeds)
+
+    r_rep = run_fold_sweep(corpus, rfb, cfg, mesh, seeds=seeds)
+
+    # Each group == the single-seed sweep at that seed, bit-for-bit.
+    single_mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("fold",))
+    for g, seed in enumerate(seeds):
+        r_one = run_fold_sweep(corpus, fb, cfg, single_mesh, seeds=(seed,))
+        sl = slice(g * per_group, (g + 1) * per_group)
+        np.testing.assert_array_equal(np.asarray(r_rep.test_cm)[sl],
+                                      np.asarray(r_one.test_cm))
+        np.testing.assert_array_equal(
+            np.asarray(r_rep.history.val_loss)[sl],
+            np.asarray(r_one.history.val_loss),
+        )
+    # seeds=(cfg.seed,) is the plain sweep's RNG stream exactly.
+    r_plain = run_fold_sweep(corpus, fb, cfg, single_mesh)
+    np.testing.assert_array_equal(
+        np.asarray(r_rep.test_cm)[:per_group], np.asarray(r_plain.test_cm)
+    )
+    # Different seeds actually train differently.
+    assert not np.array_equal(
+        np.asarray(r_rep.history.val_loss)[:per_group],
+        np.asarray(r_rep.history.val_loss)[per_group:],
+    )
+
+    summary = summarize_replicated(r_rep, fb, seeds, per_group)
+    acc = np.asarray(summary["accuracy"])
+    assert acc.shape == (len(seeds), len(fb.test_subjects))
+    from multimodalsignal_tpu.train import metrics as M
+
+    cm00 = np.asarray(r_rep.test_cm)[0]
+    assert acc[0, 0] == pytest.approx(float(M.accuracy_from_cm(cm00)))
+    assert summary["grand_mean_accuracy"] == pytest.approx(acc.mean())
+    assert summary["seed_std_of_mean_accuracy"] == pytest.approx(
+        acc.mean(axis=1).std(ddof=1)
+    )
