@@ -30,6 +30,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.custom_batching import custom_vmap
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -340,6 +341,25 @@ def _fb_t_blk(per_step_bytes: int, t_total: int) -> int:
     return min(blk, T_BLK, t_total)
 
 
+# Max folds per fb kernel invocation. Shrinking the time chunk cannot save a
+# too-large fold axis: the NON-time-blocked buffers (recurrent weights, the
+# [F, B, 3H] bias broadcast, the f32 dW/dh scratches) scale linearly with F
+# and alone approach the ~16 MB scoped-VMEM limit near F≈48 (observed 16.97M
+# at 45 seed-replicated lanes). Larger lane counts run as sequential
+# even-sized fold groups — each group a proven-size kernel; per-step MXU work
+# is unchanged (the fold-batched matmuls were F-parallel only in VMEM
+# residency, not in the single MXU's issue order).
+_FB_MAX_FOLDS = 16
+
+
+def _fold_slices(f: int) -> list[slice]:
+    """Even-sized fold groups of at most _FB_MAX_FOLDS (sizes differ by <=1,
+    so at most two distinct kernel shapes compile)."""
+    n = -(-f // _FB_MAX_FOLDS)
+    bounds = np.linspace(0, f, n + 1).astype(int)
+    return [slice(int(a), int(b)) for a, b in zip(bounds[:-1], bounds[1:])]
+
+
 def _fb_fwd_kernel(xg_ref, whh_t_ref, bhh_ref, h0_ref, out_ref, h_scratch,
                    *, t_total: int, t_blk: int, reverse: bool):
     """Fold-batched forward chunk.
@@ -391,6 +411,12 @@ def _fb_fwd_kernel(xg_ref, whh_t_ref, bhh_ref, h0_ref, out_ref, h_scratch,
 def _gru_forward_fb(xg_fb, w_hh, b_hh, h0, reverse: bool):
     """xg_fb [F, T, B, 3H], w_hh [F, 3H, H], b_hh [F, 3H], h0 [F, B, H]
     -> ys [F, T, B, H]."""
+    f = xg_fb.shape[0]
+    if f > _FB_MAX_FOLDS:
+        return jnp.concatenate([
+            _gru_forward_fb(xg_fb[s], w_hh[s], b_hh[s], h0[s], reverse)
+            for s in _fold_slices(f)
+        ], axis=0)
     f, t_total, batch, three_h = xg_fb.shape
     hidden = three_h // 3
     dt = xg_fb.dtype  # f32, or bf16 (halved pipeline traffic)
@@ -495,6 +521,16 @@ def _fb_bwd_kernel(dy_ref, hprev_ref, xg_ref, whh_t_ref, bhh_ref,
 
 
 def _gru_backward_fb(xg_fb, w_hh, b_hh, h0, ys, dy, reverse: bool):
+    f = xg_fb.shape[0]
+    if f > _FB_MAX_FOLDS:
+        parts = [
+            _gru_backward_fb(xg_fb[s], w_hh[s], b_hh[s], h0[s], ys[s], dy[s],
+                             reverse)
+            for s in _fold_slices(f)
+        ]
+        return tuple(
+            jnp.concatenate(cols, axis=0) for cols in zip(*parts)
+        )
     f, t_total, batch, three_h = xg_fb.shape
     hidden = three_h // 3
     dt = xg_fb.dtype

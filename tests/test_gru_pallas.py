@@ -415,3 +415,49 @@ def test_bf16_bigru_module(rng):
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
                                rtol=0.0, atol=0.1)
+
+
+def test_fold_chunking_forward(rng, monkeypatch):
+    """Fold counts beyond _FB_MAX_FOLDS split into sequential even-sized
+    kernel groups (the fixed per-fold VMEM buffers — weights, bias
+    broadcast, dW scratch — scale with F and overflow scoped VMEM near
+    F~48, observed at 45 seed-replicated lanes). Chunked == unchunked,
+    bit-exact."""
+    import multimodalsignal_tpu.ops.gru_pallas as gp
+
+    monkeypatch.delenv("MMS_GRU_FOLD_GROUP", raising=False)
+    xg, whh, bhh, h0 = _fb_setup(rng, f=5, t=T_BLK // 2 + 3)
+
+    def run(a, w, c, d):
+        return gru_sequence_pallas(a, w, c, d, reverse=True)
+
+    want = jax.jit(jax.vmap(run))(xg, whh, bhh, h0)  # one kernel, F=5
+    monkeypatch.setattr(gp, "_FB_MAX_FOLDS", 2)
+    assert [s.stop - s.start for s in gp._fold_slices(5)] == [1, 2, 2]
+    got = jax.jit(jax.vmap(run))(xg, whh, bhh, h0)  # three chunked kernels
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.slow
+def test_fold_chunking_grads(rng, monkeypatch):
+    """Custom-VJP gradients through the fold-chunked fb path are bit-exact
+    vs the single-kernel fb path."""
+    import multimodalsignal_tpu.ops.gru_pallas as gp
+
+    monkeypatch.delenv("MMS_GRU_FOLD_GROUP", raising=False)
+    xg, whh, bhh, h0 = _fb_setup(rng, f=5, t=T_BLK // 2 + 3)
+
+    def loss(a, w, c, d):
+        return jnp.sum(gru_sequence_pallas(a, w, c, d, reverse=False) ** 2)
+
+    grad_fn = jax.jit(jax.vmap(jax.grad(loss, argnums=(0, 1, 2, 3))))
+    want = grad_fn(xg, whh, bhh, h0)
+    monkeypatch.setattr(gp, "_FB_MAX_FOLDS", 2)
+    got = jax.jit(jax.vmap(jax.grad(loss, argnums=(0, 1, 2, 3))))(
+        xg, whh, bhh, h0
+    )
+    for j in range(4):
+        # ulp-level tolerance: slicing changes XLA fusion shapes around the
+        # (interpret-mode) kernels, which can reorder f32 contractions.
+        np.testing.assert_allclose(np.asarray(got[j]), np.asarray(want[j]),
+                                   rtol=1e-6, atol=1e-6)
