@@ -91,13 +91,7 @@ CHANNELS6 = ("chest_ECG", "chest_EDA", "chest_EMG", "chest_Resp",
              "wrist_BVP", "wrist_EDA")
 
 
-@pytest.mark.parametrize(
-    "channels,classes,hidden,layers",
-    [(CHANNELS6, 2, 16, 2),
-     (("chest_ECG", "chest_EDA", "chest_Resp"), 3, 8, 1)],  # degenerate gate
-)
-def test_imported_checkpoint_matches_torch_logits(tmp_path, channels,
-                                                  classes, hidden, layers):
+def _import_and_check_logits(tmp_path, channels, classes, hidden, layers):
     rng = np.random.default_rng(0)
     tm = make_reference_torch_model(len(channels), classes, cnn_out=16,
                                     hidden=hidden, layers=layers)
@@ -124,7 +118,30 @@ def test_imported_checkpoint_matches_torch_logits(tmp_path, channels,
     ))
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
 
-    # The emitted run dir is a drop-in for the Predictor surface.
+    saved = json.loads((out / "config.json").read_text())
+    assert saved["model"]["gru_hidden_size"] == hidden
+    assert saved["model"]["gru_num_layers"] == layers
+    assert tuple(saved["channels_to_use"]) == tuple(channels)
+    return out, classes, channels
+
+
+def test_imported_checkpoint_matches_torch_logits(tmp_path):
+    """Quick tier: degenerate-gate (C=3 < reduction) topology, logit parity
+    at a short window (the full-C + Predictor drop-in case lives in the
+    slow tier — it jit-compiles at T=7680)."""
+    _import_and_check_logits(
+        tmp_path, ("chest_ECG", "chest_EDA", "chest_Resp"), 3, 8, 1
+    )
+
+
+@pytest.mark.slow
+def test_imported_run_dir_drives_predictor(tmp_path):
+    """Full 6-channel topology + the emitted run dir is a drop-in for the
+    Predictor surface (compiles predict_windows at the real 60 s window)."""
+    rng = np.random.default_rng(1)
+    out, classes, channels = _import_and_check_logits(
+        tmp_path, CHANNELS6, 2, 16, 2
+    )
     from multimodalsignal_tpu.experiments.predict import Predictor
 
     pred = Predictor.from_files(out / "best_model.msgpack", out / "config.json")
@@ -134,11 +151,6 @@ def test_imported_checkpoint_matches_torch_logits(tmp_path, channels,
     )
     assert probs.shape == (3, classes)
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)
-
-    saved = json.loads((out / "config.json").read_text())
-    assert saved["model"]["gru_hidden_size"] == hidden
-    assert saved["model"]["gru_num_layers"] == layers
-    assert tuple(saved["channels_to_use"]) == tuple(channels)
 
 
 def test_infer_model_config_shapes(tmp_path):
