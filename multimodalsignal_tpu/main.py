@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "seed as ONE sharded program (folds x seeds lanes) "
                         "and report training-noise error bars "
                         "(parallel/replicated_sweep.py; sharded only)")
+    p.add_argument("--seed-chunk", type=int, default=None,
+                   help="with --seeds: at most this many seed groups per "
+                        "launch, run sequentially (bounds HBM working set; "
+                        "compiled program reused across launches). Auto-"
+                        "halves on RESOURCE_EXHAUSTED either way.")
     return p
 
 
@@ -121,7 +126,8 @@ def main(argv=None) -> None:
             run_replicated_experiment,
         )
 
-        run_replicated_experiment(cfg, tuple(args.seeds), run_dir)
+        run_replicated_experiment(cfg, tuple(args.seeds), run_dir,
+                                  seed_chunk=args.seed_chunk)
         return
     if execution == "sharded":
         from multimodalsignal_tpu.parallel.fold_sweep import run_sharded_experiment

@@ -76,26 +76,34 @@ def make_replicated_mesh(
     return Mesh(devices, axis_names=("fold",)), fp
 
 
-def summarize_replicated(result, fb: FoldBatch, seeds: tuple[int, ...],
-                         per_group: int) -> dict:
-    """Variance decomposition of the stacked [S*Fp, ...] sweep result.
+def _acc_f1_matrices(result, fb: FoldBatch, num_seeds: int,
+                     per_group: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-(seed, real fold) accuracy/F1 [S, F] from a stacked [S*Fp, ...]
+    sweep result (padding folds dropped)."""
+    num_real = len(fb.test_subjects)
+    acc = np.zeros((num_seeds, num_real))
+    f1 = np.zeros((num_seeds, num_real))
+    for s in range(num_seeds):
+        for f in range(num_real):
+            cm = np.asarray(result.test_cm)[s * per_group + f]
+            acc[s, f] = float(M.accuracy_from_cm(cm))
+            f1[s, f] = float(M.weighted_f1_from_cm(cm))
+    return acc, f1
+
+
+def summarize_from_matrices(acc: np.ndarray, f1: np.ndarray,
+                            seeds: tuple[int, ...],
+                            subjects: tuple[str, ...]) -> dict:
+    """Variance decomposition of a per-(seed, fold) accuracy/F1 matrix.
 
     Returns per-seed fold accuracies/F1s plus the numbers a paper needs:
     grand mean, the across-seed std of the per-seed means (training-noise
     error bar on the headline number), and the mean per-fold across-seed
     std (how seed-sensitive individual subjects are)."""
-    num_real = len(fb.test_subjects)
-    acc = np.zeros((len(seeds), num_real))
-    f1 = np.zeros((len(seeds), num_real))
-    for s in range(len(seeds)):
-        for f in range(num_real):
-            cm = np.asarray(result.test_cm)[s * per_group + f]
-            acc[s, f] = float(M.accuracy_from_cm(cm))
-            f1[s, f] = float(M.weighted_f1_from_cm(cm))
     seed_means = acc.mean(axis=1)
     return {
         "seeds": list(seeds),
-        "subjects": list(fb.test_subjects),
+        "subjects": list(subjects),
         "accuracy": acc.tolist(),
         "f1": f1.tolist(),
         "per_seed_mean_accuracy": seed_means.tolist(),
@@ -109,6 +117,13 @@ def summarize_replicated(result, fb: FoldBatch, seeds: tuple[int, ...],
         if len(seeds) > 1 else 0.0,
         "fold_std_of_mean_accuracy": float(acc.mean(axis=0).std()),
     }
+
+
+def summarize_replicated(result, fb: FoldBatch, seeds: tuple[int, ...],
+                         per_group: int) -> dict:
+    """Variance decomposition of one stacked [S*Fp, ...] sweep result."""
+    acc, f1 = _acc_f1_matrices(result, fb, len(seeds), per_group)
+    return summarize_from_matrices(acc, f1, seeds, fb.test_subjects)
 
 
 def write_seed_summary(path: Path, cfg: ExperimentConfig, summary: dict) -> None:
@@ -149,13 +164,32 @@ def run_replicated_experiment(
     run_output_dir: Path | str,
     all_channel_names: list[str] | None = None,
     devices=None,
+    seed_chunk: int | None = None,
 ) -> dict:
     """Pack once, sweep folds x seeds as one sharded program, write
-    seed_summary.{txt,json} + the per-(seed,fold) accuracy matrix."""
+    seed_summary.{txt,json} + the per-(seed,fold) accuracy matrix.
+
+    seed_chunk: run at most this many seed groups per launch, sequentially.
+    The seed axis multiplies HBM-resident training state; on one v5e chip
+    (16 GB) the flagship 15-fold corpus fits 90 f32 lanes' params but OOMs
+    on the backward's streamed gate activations — 6 bf16 seed groups fit,
+    6 f32 groups do not (measured 2026-08-18). Chunking bounds the working
+    set to `15 * seed_chunk` lanes while reusing the compiled program across
+    launches (identical shapes -> jit cache hit), and past the
+    linear-scaling knee it is also FASTER: lockstep epochs cost 8.5 s at 45
+    lanes vs 29 s at 90 on one chip. Seed groups are independent programs,
+    so chunking changes no group's semantics; exact bitwise results match
+    the chunk-sized program, not the monolithic one (both sit inside the
+    documented lane-count numerics band, benchmarks/BENCHMARK.md).
+
+    On an XLA RESOURCE_EXHAUSTED launch failure the sweep automatically
+    restarts with the per-launch seed count halved (down to 1 group)."""
     from multimodalsignal_tpu.config import validate_experiment
 
     t0 = time.time()
     validate_experiment(cfg, fold_execution="sharded")
+    if seed_chunk is not None and seed_chunk < 1:
+        raise ValueError(f"seed_chunk must be >= 1, got {seed_chunk}")
     hybrid = cfg.model.name == "hybrid_cnn_gru"
     raw_path = cfg.raw_align_path if hybrid else cfg.data_path
     run_output_dir = Path(run_output_dir)
@@ -179,24 +213,56 @@ def run_replicated_experiment(
             cfg.data_path, list(cfg.subjects), list(cfg.channels_to_use),
             all_channel_names, cfg.classification_mode, cfg.normalization,
         )
-    mesh, per_group = make_replicated_mesh(
-        len(corpus.subjects), len(seeds), devices
+    chunk = min(seed_chunk or len(seeds), len(seeds))
+    staging_s = time.time() - t0
+    while True:  # retry loop: halve the per-launch seed count on OOM
+        chunks = [tuple(seeds[i:i + chunk])
+                  for i in range(0, len(seeds), chunk)]
+        accs, f1s, chunk_walls = [], [], []
+        fb = None
+        try:
+            for ci, chunk_seeds in enumerate(chunks):
+                tc = time.time()
+                mesh, per_group = make_replicated_mesh(
+                    len(corpus.subjects), len(chunk_seeds), devices
+                )
+                fb = build_fold_batch(corpus, list(cfg.subjects),
+                                      cfg.val_fraction, cfg.seed,
+                                      pad_folds_to=per_group)
+                rfb = replicate_fold_batch(fb, len(chunk_seeds))
+                print("=" * 80)
+                print(f"Seed-replicated sweep [launch {ci + 1}/{len(chunks)}]: "
+                      f"{len(fb.test_subjects)} folds x {len(chunk_seeds)} "
+                      f"seeds = {len(fb.test_subjects) * len(chunk_seeds)} "
+                      f"lanes (padded to {rfb.train_pool.shape[0]}) over "
+                      f"{mesh.devices.size} devices "
+                      f"[{mesh.devices.flat[0].platform}]")
+                if ci == 0:
+                    print(f"  staging: {staging_s:.1f}s")
+                print("=" * 80)
+                result = run_fold_sweep(corpus, rfb, cfg, mesh,
+                                        seeds=chunk_seeds)
+                a, f = _acc_f1_matrices(result, fb, len(chunk_seeds),
+                                        per_group)
+                accs.append(a)
+                f1s.append(f)
+                chunk_walls.append(time.time() - tc)
+            break
+        except Exception as e:  # pragma: no cover - needs a real OOM
+            if "RESOURCE_EXHAUSTED" not in str(e) or chunk <= 1:
+                raise
+            chunk = -(-chunk // 2)
+            print(f"Launch hit RESOURCE_EXHAUSTED; retrying with "
+                  f"seed_chunk={chunk} ({-(-len(seeds) // chunk)} sequential "
+                  f"launches). Consider model.dtype=bfloat16.")
+
+    summary = summarize_from_matrices(
+        np.concatenate(accs, axis=0), np.concatenate(f1s, axis=0),
+        tuple(seeds), fb.test_subjects,
     )
-    fb = build_fold_batch(corpus, list(cfg.subjects), cfg.val_fraction,
-                          cfg.seed, pad_folds_to=per_group)
-    rfb = replicate_fold_batch(fb, len(seeds))
-    print("=" * 80)
-    print(f"Seed-replicated sweep: {len(fb.test_subjects)} folds x "
-          f"{len(seeds)} seeds = {len(fb.test_subjects) * len(seeds)} lanes "
-          f"(padded to {rfb.train_pool.shape[0]}) over {mesh.devices.size} "
-          f"devices [{mesh.devices.flat[0].platform}]")
-    print(f"  staging: {time.time() - t0:.1f}s")
-    print("=" * 80)
-
-    result = run_fold_sweep(corpus, rfb, cfg, mesh, seeds=tuple(seeds))
-
-    summary = summarize_replicated(result, fb, tuple(seeds), per_group)
     summary["wall_s"] = time.time() - t0
+    summary["seed_chunk"] = chunk
+    summary["launch_walls_s"] = [round(w, 2) for w in chunk_walls]
     write_seed_summary(run_output_dir / "seed_summary.txt", cfg, summary)
     (run_output_dir / "seed_summary.json").write_text(
         json.dumps(summary, indent=2) + "\n"

@@ -510,3 +510,37 @@ def test_replicated_sweep_matches_single_seed_runs(tmp_path):
     assert summary["seed_std_of_mean_accuracy"] == pytest.approx(
         acc.mean(axis=1).std(ddof=1)
     )
+
+
+def test_replicated_sweep_seed_chunking(preprocessed, tmp_path):  # noqa: F811
+    """seed_chunk=1 (one launch per seed group) must produce the exact
+    per-(seed, fold) matrices of the monolithic all-seeds launch: seed
+    groups are independent programs, so sequential launches change nothing
+    semantically (and on the CPU mesh, nothing bitwise either)."""
+    from multimodalsignal_tpu.parallel.replicated_sweep import (
+        run_replicated_experiment,
+    )
+
+    cfg = ExperimentConfig(
+        data_path=str(preprocessed / "chest_raw"),
+        subjects=tuple(SUBJECTS_SMALL[:3]),
+        channels_to_use=("chest_ECG", "chest_EDA"),
+        model=ModelConfig(cnn_out_channels=4, gru_hidden_size=4,
+                          gru_num_layers=1),
+        trainer=TrainerConfig(epochs=2, batch_size=8,
+                              early_stopping=EarlyStoppingConfig(patience=5)),
+    )
+    seeds = (42, 7)
+    mono = run_replicated_experiment(cfg, seeds, tmp_path / "mono")
+    chunked = run_replicated_experiment(cfg, seeds, tmp_path / "chunked",
+                                        seed_chunk=1)
+
+    np.testing.assert_array_equal(np.asarray(chunked["accuracy"]),
+                                  np.asarray(mono["accuracy"]))
+    np.testing.assert_array_equal(np.asarray(chunked["f1"]),
+                                  np.asarray(mono["f1"]))
+    assert chunked["seed_chunk"] == 1
+    assert len(chunked["launch_walls_s"]) == 2
+    assert len(mono["launch_walls_s"]) == 1
+    assert (tmp_path / "chunked" / "seed_summary.json").exists()
+    assert (tmp_path / "chunked" / "seed_fold_matrix.npz").exists()
