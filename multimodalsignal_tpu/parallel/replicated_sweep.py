@@ -248,7 +248,7 @@ def run_replicated_experiment(
                 f1s.append(f)
                 chunk_walls.append(time.time() - tc)
             break
-        except Exception as e:  # pragma: no cover - needs a real OOM
+        except Exception as e:
             if "RESOURCE_EXHAUSTED" not in str(e) or chunk <= 1:
                 raise
             chunk = -(-chunk // 2)

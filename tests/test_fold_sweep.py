@@ -512,6 +512,7 @@ def test_replicated_sweep_matches_single_seed_runs(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_replicated_sweep_seed_chunking(preprocessed, tmp_path):  # noqa: F811
     """seed_chunk=1 (one launch per seed group) must produce the exact
     per-(seed, fold) matrices of the monolithic all-seeds launch: seed
@@ -544,3 +545,65 @@ def test_replicated_sweep_seed_chunking(preprocessed, tmp_path):  # noqa: F811
     assert len(mono["launch_walls_s"]) == 1
     assert (tmp_path / "chunked" / "seed_summary.json").exists()
     assert (tmp_path / "chunked" / "seed_fold_matrix.npz").exists()
+
+
+@pytest.mark.slow
+def test_replicated_sweep_oom_autohalving(preprocessed, tmp_path,
+                                          monkeypatch):  # noqa: F811
+    """A RESOURCE_EXHAUSTED launch failure must restart the sweep with the
+    per-launch seed count halved (down to single-group launches) and still
+    produce the single-group-launch results; any other error propagates."""
+    import multimodalsignal_tpu.parallel.replicated_sweep as rs
+
+    cfg = ExperimentConfig(
+        data_path=str(preprocessed / "chest_raw"),
+        subjects=tuple(SUBJECTS_SMALL[:3]),
+        channels_to_use=("chest_ECG", "chest_EDA"),
+        model=ModelConfig(cnn_out_channels=4, gru_hidden_size=4,
+                          gru_num_layers=1),
+        trainer=TrainerConfig(epochs=2, batch_size=8,
+                              early_stopping=EarlyStoppingConfig(patience=5)),
+    )
+    seeds = (42, 7)
+    reference = rs.run_replicated_experiment(cfg, seeds, tmp_path / "ref",
+                                             seed_chunk=1)
+
+    real_run_fold_sweep = rs.run_fold_sweep
+    launches = []
+
+    def fake_oom_above_one_group(corpus, rfb, cfg_, mesh, seeds=(None,),
+                                 **kw):
+        launches.append(len(seeds))
+        if len(seeds) > 1:
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: Out of memory allocating X bytes"
+            )
+        return real_run_fold_sweep(corpus, rfb, cfg_, mesh, seeds=seeds,
+                                   **kw)
+
+    monkeypatch.setattr(rs, "run_fold_sweep", fake_oom_above_one_group)
+    halved = rs.run_replicated_experiment(cfg, seeds, tmp_path / "halved")
+
+    # One failed 2-group launch, then two successful 1-group launches.
+    assert launches == [2, 1, 1]
+    assert halved["seed_chunk"] == 1
+    assert len(halved["launch_walls_s"]) == 2
+    np.testing.assert_array_equal(np.asarray(halved["accuracy"]),
+                                  np.asarray(reference["accuracy"]))
+
+    # Non-OOM errors do NOT trigger the retry loop.
+    def fake_other_error(*a, **kw):
+        raise RuntimeError("INVALID_ARGUMENT: something unrelated")
+
+    monkeypatch.setattr(rs, "run_fold_sweep", fake_other_error)
+    with pytest.raises(RuntimeError, match="INVALID_ARGUMENT"):
+        rs.run_replicated_experiment(cfg, seeds, tmp_path / "err")
+
+    # Already at 1-group launches, OOM propagates (halving exhausted).
+    def fake_always_oom(*a, **kw):
+        raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory")
+
+    monkeypatch.setattr(rs, "run_fold_sweep", fake_always_oom)
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        rs.run_replicated_experiment(cfg, seeds, tmp_path / "err2",
+                                     seed_chunk=1)
