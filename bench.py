@@ -172,9 +172,13 @@ def main() -> None:
     p.add_argument("--seq", type=int, default=7680)
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--warmup", type=int, default=10)
-    p.add_argument("--gru-impl", choices=("scan", "pallas", "pallas_fused"),
-                   default="pallas",
-                   help="fused Pallas GRU kernel (default) or lax.scan")
+    p.add_argument("--gru-impl",
+                   choices=("scan", "pallas", "pallas_db", "pallas_fused"),
+                   default="pallas_db",
+                   help="direction-batched fused Pallas GRU (default; both "
+                        "directions as F=2 lanes of one fold-batched kernel "
+                        "walk, +19% steps/s bf16 over per-direction kernels), "
+                        "per-direction kernels (pallas), or lax.scan")
     # bf16 is the TPU-idiomatic default: +7% steps/s over f32 with measured
     # LOSO accuracy parity on the benchmark corpus (benchmarks/RESULTS.md
     # round 2; 81.52 +- 5.05 bf16 vs 81.64 +- 4.49 f32).

@@ -62,16 +62,23 @@ class BiGRU(nn.Module):
     hidden_size: int
     num_layers: int = 1
     dropout: float = 0.0
-    impl: str = "scan"  # "scan" | "pallas" | "auto" (pallas on TPU)
+    impl: str = "scan"  # "scan" | "pallas" | "pallas_db" | "pallas_fused"
+    #                     | "auto" (best kernel on TPU, scan elsewhere)
     dtype: jnp.dtype = jnp.float32  # compute dtype; params stay float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         impl = self.impl
         if impl == "auto":
-            # Fused kernel where it pays off (2.2x faster train step on TPU);
-            # lax.scan elsewhere (interpret-mode Pallas is debug-only).
-            impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+            # Fused kernels where they pay off; lax.scan elsewhere
+            # (interpret-mode Pallas is debug-only). pallas_db batches both
+            # directions into ONE fold-batched kernel walk per layer
+            # (478 vs 400 bf16 train steps/s on v5e vs per-direction
+            # kernels); under the fold sweep's vmap the direction axis
+            # collapses into the fold axis (fb-level custom_vmap), so the
+            # same choice is safe — and at >16 total lanes equivalent —
+            # inside sharded sweeps.
+            impl = "pallas_db" if jax.default_backend() == "tpu" else "scan"
         h = self.hidden_size
         bound = 1.0 / h**0.5  # torch GRU init: U(-1/sqrt(H), 1/sqrt(H))
         batch = x.shape[0]
@@ -110,6 +117,19 @@ class BiGRU(nn.Module):
                 # carry/accumulators); f32 stays full f32.
                 y_f = gru_sequence_pallas(xg_f, whf, bhf, h0, reverse=False)
                 y_b = gru_sequence_pallas(xg_b, whb, bhb, h0, reverse=True)
+                y_f, y_b = y_f.astype(self.dtype), y_b.astype(self.dtype)
+            elif impl == "pallas_db":
+                from multimodalsignal_tpu.ops.gru_pallas import (
+                    gru_bidirectional_dirbatch,
+                )
+
+                # Direction-batched: both directions as F=2 lanes of ONE
+                # fold-batched kernel walk — halves the sequential kernel
+                # walks per layer (the recurrence is latency-bound, so the
+                # doubled per-step matmul batch is nearly free).
+                y_f, y_b = gru_bidirectional_dirbatch(
+                    xg_f, xg_b, whf, whb, bhf, bhb, h0
+                )
                 y_f, y_b = y_f.astype(self.dtype), y_b.astype(self.dtype)
             elif impl == "pallas_fused":
                 from multimodalsignal_tpu.ops.gru_pallas import (

@@ -349,13 +349,21 @@ def _fb_t_blk(per_step_bytes: int, t_total: int) -> int:
 # even-sized fold groups — each group a proven-size kernel; per-step MXU work
 # is unchanged (the fold-batched matmuls were F-parallel only in VMEM
 # residency, not in the single MXU's issue order).
+# MMS_GRU_FB_MAX_FOLDS overrides the cap (e.g. 32 lets a 15-fold
+# direction-batched sweep run 30 lanes as ONE kernel walk per layer instead
+# of two sequential 15-lane groups — worth it only if the F-scaled buffers
+# still fit scoped VMEM; RESOURCE_EXHAUSTED at compile means they did not).
 _FB_MAX_FOLDS = 16
+
+
+def _fb_max_folds() -> int:
+    return int(os.environ.get("MMS_GRU_FB_MAX_FOLDS", _FB_MAX_FOLDS))
 
 
 def _fold_slices(f: int) -> list[slice]:
     """Even-sized fold groups of at most _FB_MAX_FOLDS (sizes differ by <=1,
     so at most two distinct kernel shapes compile)."""
-    n = -(-f // _FB_MAX_FOLDS)
+    n = -(-f // _fb_max_folds())
     bounds = np.linspace(0, f, n + 1).astype(int)
     return [slice(int(a), int(b)) for a, b in zip(bounds[:-1], bounds[1:])]
 
@@ -412,7 +420,7 @@ def _gru_forward_fb(xg_fb, w_hh, b_hh, h0, reverse: bool):
     """xg_fb [F, T, B, 3H], w_hh [F, 3H, H], b_hh [F, 3H], h0 [F, B, H]
     -> ys [F, T, B, H]."""
     f = xg_fb.shape[0]
-    if f > _FB_MAX_FOLDS:
+    if f > _fb_max_folds():
         return jnp.concatenate([
             _gru_forward_fb(xg_fb[s], w_hh[s], b_hh[s], h0[s], reverse)
             for s in _fold_slices(f)
@@ -522,7 +530,7 @@ def _fb_bwd_kernel(dy_ref, hprev_ref, xg_ref, whh_t_ref, bhh_ref,
 
 def _gru_backward_fb(xg_fb, w_hh, b_hh, h0, ys, dy, reverse: bool):
     f = xg_fb.shape[0]
-    if f > _FB_MAX_FOLDS:
+    if f > _fb_max_folds():
         parts = [
             _gru_backward_fb(xg_fb[s], w_hh[s], b_hh[s], h0[s], ys[s], dy[s],
                              reverse)
@@ -683,6 +691,59 @@ def _diag_dw(dwbd, fg: int, g: int):
     return jnp.transpose(d, (1, 0, 2, 3, 4)).reshape(fg * g, 3 * h, h)
 
 
+# --- nested-vmap collapse: extra batch axes fold into the F axis ------------
+#
+# The fold-batched kernels themselves are custom_vmap'd so that a SECOND vmap
+# level (e.g. the fold sweep vmapping a model whose BiGRU already
+# direction-batches via impl="pallas_db") reshapes [A, F, ...] -> [A*F, ...]
+# and re-enters the same kernels, instead of falling into XLA's batched-grid
+# lowering of the inner pallas_call (round 1's measured-slower path). Any
+# vmap nesting depth collapses this way; _FB_MAX_FOLDS grouping still bounds
+# the per-kernel lane count.
+
+def _collapse2(a):
+    return a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
+
+
+def _make_fwd_fb_cv(reverse: bool):
+    @custom_vmap
+    def fwd_fb(xg_fb, w_hh, b_hh, h0):
+        return _gru_forward_fb(xg_fb, w_hh, b_hh, h0, reverse)
+
+    @fwd_fb.def_vmap
+    def _rule(axis_size, in_batched, xg, w_hh, b_hh, h0):  # noqa: F811
+        xg, w_hh, b_hh, h0 = _broadcast_unbatched(
+            (xg, w_hh, b_hh, h0), in_batched, axis_size
+        )
+        a, f = xg.shape[0], xg.shape[1]
+        ys = fwd_fb(*(map(_collapse2, (xg, w_hh, b_hh, h0))))
+        return ys.reshape((a, f) + ys.shape[1:]), True
+
+    return fwd_fb
+
+
+def _make_bwd_fb_cv(reverse: bool):
+    @custom_vmap
+    def bwd_fb(xg_fb, w_hh, b_hh, h0, ys, dy):
+        return _gru_backward_fb(xg_fb, w_hh, b_hh, h0, ys, dy, reverse)
+
+    @bwd_fb.def_vmap
+    def _rule(axis_size, in_batched, *args):  # noqa: F811
+        args = _broadcast_unbatched(args, in_batched, axis_size)
+        a, f = args[0].shape[0], args[0].shape[1]
+        grads = bwd_fb(*(map(_collapse2, args)))
+        return (
+            tuple(g.reshape((a, f) + g.shape[1:]) for g in grads),
+            (True, True, True, True),
+        )
+
+    return bwd_fb
+
+
+_FWD_FB_CV = {False: _make_fwd_fb_cv(False), True: _make_fwd_fb_cv(True)}
+_BWD_FB_CV = {False: _make_bwd_fb_cv(False), True: _make_bwd_fb_cv(True)}
+
+
 def _make_fwd_cv(reverse: bool):
     @custom_vmap
     def fwd(x_gates_tm, w_hh, b_hh, h0):
@@ -697,7 +758,9 @@ def _make_fwd_cv(reverse: bool):
         if g == 1:
             # The fb kernels are dtype-generic: bf16 streams/MXU operands
             # with an f32 carry, same mode as the single-fold kernels.
-            return _gru_forward_fb(xg, w_hh, b_hh, h0, reverse), True
+            # Routed via the fb-level custom_vmap so deeper vmap nesting
+            # collapses into the fold axis.
+            return _FWD_FB_CV[reverse](xg, w_hh, b_hh, h0), True
         # The grouped path (opt-in, measured negative result) stays f32:
         # block-diagonal packing in bf16 is not worth a separate mode.
         dt = xg.dtype
@@ -729,7 +792,8 @@ def _make_bwd_cv(reverse: bool):
         if g == 1:
             # Dtype-generic fb kernel: bf16 streams/MXU operands, f32 dW/db
             # accumulators; cotangents cast back to the primal dtypes.
-            grads = _gru_backward_fb(*args, reverse)
+            # (fb-level custom_vmap: deeper vmap nesting collapses into F.)
+            grads = _BWD_FB_CV[reverse](*args)
         else:
             # Grouped opt-in path stays f32 (see the fwd rule).
             if any(dt != jnp.float32 for dt in dts):
@@ -1036,4 +1100,36 @@ def gru_bidirectional_pallas(x_gates_f, x_gates_b, w_hh_f, w_hh_b,
     ys2 = _bigru_tm(xg2, whh2, bhh2, h02)                  # [T, 2, B, H]
     ys_f = jnp.swapaxes(ys2[:, 0], 0, 1)
     ys_b = jnp.swapaxes(jnp.flip(ys2[:, 1], axis=0), 0, 1)
+    return ys_f, ys_b
+
+
+def gru_bidirectional_dirbatch(x_gates_f, x_gates_b, w_hh_f, w_hh_b,
+                               b_hh_f, b_hh_b, h0):
+    """Both directions of one BiGRU layer as F=2 lanes of ONE fold-batched
+    kernel walk (the backward direction's gates pre-flipped in time so both
+    lanes run a forward recurrence).
+
+    Differs from gru_bidirectional_pallas (the earlier direction-fused
+    attempt, a measured negative result) in layout and machinery: instead of
+    bespoke [T, 2, B, ...] kernels with two sequential per-direction matmuls
+    per step, this stacks direction as the F-leading axis and vmaps the
+    standard custom-VJP core, so the custom_vmap rules route it onto the
+    fold-batched kernels (_gru_forward_fb/_gru_backward_fb): one batched
+    [2,B,H]x[2,H,3H] MXU contraction per step, dtype-generic bf16 mode, and
+    the same VMEM chunking proven at F=15 in the sharded sweep. One kernel
+    walk of T sequential steps per layer instead of two.
+
+    x_gates_* [B, T, 3H]; returns (ys_fwd, ys_bwd) each [B, T, H], both in
+    original time order (torch bidirectional layout, reference models.py:56-63).
+    """
+    dt = (jnp.bfloat16 if x_gates_f.dtype == jnp.bfloat16 else jnp.float32)
+    xf = jnp.swapaxes(x_gates_f, 0, 1)                     # [T, B, 3H]
+    xb = jnp.flip(jnp.swapaxes(x_gates_b, 0, 1), axis=0)   # time-reversed
+    xg = jnp.stack([xf, xb]).astype(dt)                    # [2, T, B, 3H]
+    whh = jnp.stack([w_hh_f, w_hh_b]).astype(dt)           # [2, 3H, H]
+    bhh = jnp.stack([b_hh_f, b_hh_b]).astype(dt)           # [2, 3H]
+    h02 = jnp.stack([h0, h0]).astype(jnp.float32)          # [2, B, H]
+    ys = jax.vmap(partial(_gru_tm, False))(xg, whh, bhh, h02)  # [2, T, B, H]
+    ys_f = jnp.swapaxes(ys[0], 0, 1)
+    ys_b = jnp.swapaxes(jnp.flip(ys[1], axis=0), 0, 1)
     return ys_f, ys_b

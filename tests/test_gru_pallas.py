@@ -190,6 +190,103 @@ def test_fused_bidirectional_parity(rng):
                                    err_msg=f"grad mismatch: {name}")
 
 
+def test_dirbatch_bidirectional_parity(rng):
+    """The direction-batched path (F=2 lanes of the fold-batched kernels)
+    must match per-direction scan results, forward and gradients."""
+    from multimodalsignal_tpu.ops.gru_pallas import gru_bidirectional_dirbatch
+
+    b, t, h = 3, T_BLK + 11, 8
+    xg_f = jnp.asarray(rng.standard_normal((b, t, 3 * h)), jnp.float32)
+    xg_b = jnp.asarray(rng.standard_normal((b, t, 3 * h)), jnp.float32)
+    whf = jnp.asarray(rng.standard_normal((3 * h, h)) * 0.3, jnp.float32)
+    whb = jnp.asarray(rng.standard_normal((3 * h, h)) * 0.3, jnp.float32)
+    bhf = jnp.asarray(rng.standard_normal(3 * h) * 0.1, jnp.float32)
+    bhb = jnp.asarray(rng.standard_normal(3 * h) * 0.1, jnp.float32)
+    h0 = jnp.zeros((b, h), jnp.float32)
+
+    want_f = gru_sequence(xg_f, whf, bhf, h0, reverse=False)
+    want_b = gru_sequence(xg_b, whb, bhb, h0, reverse=True)
+    got_f, got_b = gru_bidirectional_dirbatch(
+        xg_f, xg_b, whf, whb, bhf, bhb, h0)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_db(args):
+        whf, whb, bhf, bhb, xf, xb = args
+        yf, yb = gru_bidirectional_dirbatch(xf, xb, whf, whb, bhf, bhb, h0)
+        return jnp.sum(yf ** 2) + jnp.sum(yb ** 3)
+
+    def loss_scan(args):
+        whf, whb, bhf, bhb, xf, xb = args
+        yf = gru_sequence(xf, whf, bhf, h0, reverse=False)
+        yb = gru_sequence(xb, whb, bhb, h0, reverse=True)
+        return jnp.sum(yf ** 2) + jnp.sum(yb ** 3)
+
+    args = (whf, whb, bhf, bhb, xg_f, xg_b)
+    g_want = jax.grad(loss_scan)(args)
+    g_got = jax.grad(loss_db)(args)
+    for gw, gg, name in zip(g_want, g_got,
+                            ("whf", "whb", "bhf", "bhb", "xf", "xb")):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"grad mismatch: {name}")
+
+
+def test_dirbatch_bigru_module(rng):
+    """BiGRU(impl='pallas_db') matches impl='scan' through the module
+    plumbing (2 layers, both directions, shared params)."""
+    x = jnp.asarray(rng.standard_normal((2, T_BLK // 4, 6)), jnp.float32)
+    scan_mod = BiGRU(hidden_size=8, num_layers=2, impl="scan")
+    db_mod = BiGRU(hidden_size=8, num_layers=2, impl="pallas_db")
+    variables = scan_mod.init(jax.random.PRNGKey(0), x)
+    want = scan_mod.apply(variables, x)
+    got = db_mod.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dirbatch_under_fold_vmap(rng):
+    """The fold sweep vmaps the model over folds; with impl='pallas_db' the
+    direction vmap nests inside the fold vmap. The fb-level custom_vmap must
+    collapse both into one fold axis (not fall into batched-grid lowering)
+    and stay parity with scan — forward and gradients."""
+    from multimodalsignal_tpu.ops.gru_pallas import gru_bidirectional_dirbatch
+
+    f, b, t, h = 3, 2, 40, 4
+    shp = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)  # noqa: E731
+    xg_f, xg_b = shp(f, b, t, 3 * h), shp(f, b, t, 3 * h)
+    whf, whb = shp(f, 3 * h, h) * 0.3, shp(f, 3 * h, h) * 0.3
+    bhf, bhb = shp(f, 3 * h) * 0.1, shp(f, 3 * h) * 0.1
+    h0 = jnp.zeros((f, b, h), jnp.float32)
+
+    def db(xf, xb, wf, wb, bf, bb, h00):
+        yf, yb = gru_bidirectional_dirbatch(xf, xb, wf, wb, bf, bb, h00)
+        return yf, yb
+
+    def scan2(xf, xb, wf, wb, bf, bb, h00):
+        return (gru_sequence(xf, wf, bf, h00, reverse=False),
+                gru_sequence(xb, wb, bb, h00, reverse=True))
+
+    args = (xg_f, xg_b, whf, whb, bhf, bhb, h0)
+    want_f, want_b = jax.vmap(scan2)(*args)
+    got_f, got_b = jax.vmap(db)(*args)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(fn, wf):
+        yf, yb = jax.vmap(fn)(xg_f, xg_b, wf, whb, bhf, bhb, h0)
+        return jnp.sum(yf ** 2) + jnp.sum(yb ** 3)
+
+    g_want = jax.grad(lambda w: loss(scan2, w))(whf)
+    g_got = jax.grad(lambda w: loss(db, w))(whf)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               rtol=2e-4, atol=2e-4)
+
+
 # --- fold-batched kernels (custom_vmap interception) -----------------------
 
 def _fb_setup(rng, f=3, b=2, t=None, h=4):
