@@ -259,6 +259,11 @@ class EnsemblePredictor(Predictor):
                  fold_names: tuple[str, ...], **kw):
         self.fold_names = tuple(fold_names)
         super().__init__(cfg, states_stacked, **kw)
+        # The forward is vmapped over the fold axis: with gru_impl="auto"
+        # pick the per-direction kernels (see build_model's fold_parallel
+        # note — direction batching loses at fold scale).
+        self.model = build_model(cfg.model, cfg.num_classes,
+                                 fold_parallel=True)
 
     def _predict_fn(self, params, batch_stats, x):
         def one_fold(p, bs):

@@ -16,6 +16,7 @@ so convs map onto XLA's native NWC conv lowering.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -129,8 +130,18 @@ class CnnGruModel(_CnnGruBase):
     use_channel_attention: bool = False
 
 
-def build_model(model_cfg, num_classes: int):
-    """Instantiate a model from a ModelConfig (config.py)."""
+def build_model(model_cfg, num_classes: int, fold_parallel: bool = False):
+    """Instantiate a model from a ModelConfig (config.py).
+
+    fold_parallel: the caller will vmap this model over a fold axis (the
+    sharded sweep, the fold ensemble). With gru_impl="auto" that picks the
+    per-direction Pallas kernels instead of the direction-batched ones:
+    dirbatch's pre-flipped gate streams are cheap for one fold but measured
+    ~2x slower per sweep epoch at 15 folds (4.96 vs 2.57 s, fusion6 bf16 —
+    benchmarks/RESULTS.md "direction-batched GRU at fold scale"), where the
+    per-direction kernels handle time reversal via block index maps with
+    zero data movement.
+    """
     from multimodalsignal_tpu.models.hybrid import HybridCnnGruModel
 
     cls = {
@@ -138,6 +149,9 @@ def build_model(model_cfg, num_classes: int):
         "cnn_gru": CnnGruModel,
         "hybrid_cnn_gru": HybridCnnGruModel,
     }[model_cfg.name]
+    gru_impl = model_cfg.gru_impl
+    if gru_impl == "auto" and fold_parallel:
+        gru_impl = "pallas" if jax.default_backend() == "tpu" else "scan"
     return cls(
         num_classes=num_classes,
         cnn_out_channels=model_cfg.cnn_out_channels,
@@ -145,6 +159,6 @@ def build_model(model_cfg, num_classes: int):
         gru_num_layers=model_cfg.gru_num_layers,
         dropout=model_cfg.dropout,
         reduction_ratio=model_cfg.reduction_ratio,
-        gru_impl=model_cfg.gru_impl,
+        gru_impl=gru_impl,
         dtype=jnp.dtype(getattr(model_cfg, "dtype", "float32")),
     )

@@ -74,10 +74,12 @@ class BiGRU(nn.Module):
             # (interpret-mode Pallas is debug-only). pallas_db batches both
             # directions into ONE fold-batched kernel walk per layer
             # (478 vs 400 bf16 train steps/s on v5e vs per-direction
-            # kernels); under the fold sweep's vmap the direction axis
-            # collapses into the fold axis (fb-level custom_vmap), so the
-            # same choice is safe — and at >16 total lanes equivalent —
-            # inside sharded sweeps.
+            # kernels) — the right default for SINGLE-fold contexts (serial
+            # trainer, bench, one-checkpoint serving). Callers that vmap the
+            # model over a fold axis resolve "auto" to the per-direction
+            # kernels instead via build_model(fold_parallel=True): dirbatch's
+            # pre-flipped gate streams measured ~2x slower per sweep epoch at
+            # 15 folds (benchmarks/RESULTS.md round 3).
             impl = "pallas_db" if jax.default_backend() == "tpu" else "scan"
         h = self.hidden_size
         bound = 1.0 / h**0.5  # torch GRU init: U(-1/sqrt(H), 1/sqrt(H))

@@ -500,7 +500,7 @@ def run_fold_sweep(
             f"FoldBatch must be padded to the device count: {num_folds} vs {padded}"
         )
 
-    model = build_model(cfg.model, cfg.num_classes)
+    model = build_model(cfg.model, cfg.num_classes, fold_parallel=True)
     tx = make_optimizer(cfg.trainer.learning_rate, cfg.trainer.weight_decay)
     batch = cfg.trainer.batch_size
 
@@ -644,9 +644,16 @@ def run_fold_sweep(
             if stopped.all():
                 print(f"  all folds early-stopped at epoch {epoch + 1}")
                 break
+        t_eval = time.time()
         test_loss, test_cm, best_epoch, fparams, fbs, test_probs = finalize_fn(
             x_dev, y_dev, te_pool, n_te, fb_cw, carry
         )
+        jax.block_until_ready(test_cm)
+        # First run pays the composed test-eval program compile (~2 min over
+        # the remote compile service); make that visible instead of letting
+        # it hide between the epoch loop and the artifact phase.
+        print(f"  test eval (compile + run): {time.time() - t_eval:.1f}s",
+              flush=True)
 
     # Stack per-epoch logs to [F, epochs] (zero-padded past the exit).
     stacked = [np.stack(column, axis=1) for column in zip(*logs)]

@@ -96,8 +96,10 @@ def run_hierarchical_sharded(
     x = jnp.asarray(x_flat, jnp.float32)
     y = jnp.asarray(y_flat, jnp.int32)
 
-    model_m1 = build_model(cfg.m1_model, 2)
-    model_m2 = build_model(cfg.m2_model, 2)
+    # This composed eval (and the M1/M2 training sweeps it follows) vmap
+    # over folds: "auto" resolves to the per-direction kernels here.
+    model_m1 = build_model(cfg.m1_model, 2, fold_parallel=True)
+    model_m2 = build_model(cfg.m2_model, 2, fold_parallel=True)
     batch = base.trainer.batch_size
     steps_te = max(-(-int(fb_u.n_test.max()) // batch), 1)
 

@@ -262,3 +262,23 @@ def test_bfloat16_compute_path(rng):
     import numpy as np
     np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
                                rtol=0.1, atol=0.1)
+
+
+def test_build_model_fold_parallel_resolves_auto():
+    """Callers that vmap the model over folds (sweep, ensemble) resolve
+    gru_impl='auto' to the per-direction kernels at build time — direction
+    batching measured ~2x slower per sweep epoch at 15 folds
+    (benchmarks/RESULTS.md round 3). On the CPU backend both contexts
+    resolve to scan inside BiGRU, so pin the build_model-level override:
+    fold_parallel pins a concrete impl, plain auto stays deferred."""
+    from multimodalsignal_tpu.config import ModelConfig
+    from multimodalsignal_tpu.models import build_model
+
+    plain = build_model(ModelConfig(), 2)
+    swept = build_model(ModelConfig(), 2, fold_parallel=True)
+    assert plain.gru_impl == "auto"
+    assert swept.gru_impl in ("pallas", "scan")  # never pallas_db
+    import jax
+
+    expected = "pallas" if jax.default_backend() == "tpu" else "scan"
+    assert swept.gru_impl == expected
