@@ -204,9 +204,11 @@ def test_dirbatch_bidirectional_parity(rng):
     bhb = jnp.asarray(rng.standard_normal(3 * h) * 0.1, jnp.float32)
     h0 = jnp.zeros((b, h), jnp.float32)
 
-    want_f = gru_sequence(xg_f, whf, bhf, h0, reverse=False)
-    want_b = gru_sequence(xg_b, whb, bhb, h0, reverse=True)
-    got_f, got_b = gru_bidirectional_dirbatch(
+    want_f = jax.jit(lambda a, w, c: gru_sequence(a, w, c, h0, reverse=False))(
+        xg_f, whf, bhf)
+    want_b = jax.jit(lambda a, w, c: gru_sequence(a, w, c, h0, reverse=True))(
+        xg_b, whb, bhb)
+    got_f, got_b = jax.jit(gru_bidirectional_dirbatch)(
         xg_f, xg_b, whf, whb, bhf, bhb, h0)
     np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
                                rtol=1e-5, atol=1e-5)
@@ -225,8 +227,8 @@ def test_dirbatch_bidirectional_parity(rng):
         return jnp.sum(yf ** 2) + jnp.sum(yb ** 3)
 
     args = (whf, whb, bhf, bhb, xg_f, xg_b)
-    g_want = jax.grad(loss_scan)(args)
-    g_got = jax.grad(loss_db)(args)
+    g_want = jax.jit(jax.grad(loss_scan))(args)
+    g_got = jax.jit(jax.grad(loss_db))(args)
     for gw, gg, name in zip(g_want, g_got,
                             ("whf", "whb", "bhf", "bhb", "xf", "xb")):
         np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
@@ -241,8 +243,8 @@ def test_dirbatch_bigru_module(rng):
     scan_mod = BiGRU(hidden_size=8, num_layers=2, impl="scan")
     db_mod = BiGRU(hidden_size=8, num_layers=2, impl="pallas_db")
     variables = scan_mod.init(jax.random.PRNGKey(0), x)
-    want = scan_mod.apply(variables, x)
-    got = db_mod.apply(variables, x)
+    want = jax.jit(scan_mod.apply)(variables, x)
+    got = jax.jit(db_mod.apply)(variables, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
 

@@ -8,7 +8,17 @@ import pytest
 import torch
 from sklearn.metrics import accuracy_score, confusion_matrix as sk_cm, f1_score
 
-from multimodalsignal_tpu.train.metrics import accuracy, confusion_matrix, weighted_f1
+from multimodalsignal_tpu.train.metrics import (
+    accuracy as _accuracy,
+    confusion_matrix as _confusion_matrix,
+    weighted_f1 as _weighted_f1,
+)
+
+# Jit the metric kernels once per (static) signature: the quick tier's cost
+# here is eager re-tracing, not math (1-core host; see conftest cache notes).
+accuracy = jax.jit(_accuracy, static_argnums=2)
+confusion_matrix = jax.jit(_confusion_matrix, static_argnums=2)
+weighted_f1 = jax.jit(_weighted_f1, static_argnums=2)
 from multimodalsignal_tpu.train.optim import (
     early_stopping_init,
     early_stopping_update,
@@ -75,10 +85,14 @@ def test_adam_weight_decay_matches_torch(rng):
     def loss_fn(p):
         return jnp.mean((xj @ p["w"]) ** 2)
 
-    for _ in range(steps):
+    @jax.jit
+    def step(params, opt_state):
         grads = jax.grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return jax.tree_util.tree_map(lambda p, u: p + u, params, updates), opt_state
+
+    for _ in range(steps):
+        params, opt_state = step(params, opt_state)
 
     np.testing.assert_allclose(np.asarray(params["w"]), tp.detach().numpy(), rtol=1e-5, atol=1e-6)
 

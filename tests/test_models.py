@@ -163,7 +163,8 @@ def test_full_model_matches_torch_eval(in_channels, rng):
     jm = CnnGruAttentionModel(num_classes=2)
     variables = jm.init(jax.random.PRNGKey(0), jnp.asarray(x))
     variables = _copy_torch_to_flax(tm, variables)
-    j_logits = jm.apply(variables, jnp.asarray(x), train=False)
+    j_logits = jax.jit(lambda v, xb: jm.apply(v, xb, train=False))(
+        variables, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(j_logits), t_logits, rtol=1e-4, atol=1e-4)
 
 
@@ -175,7 +176,7 @@ def test_forward_shapes_and_param_count():
     x = jnp.zeros((2, 3, T))
     model = CnnGruAttentionModel(num_classes=2)
     variables = model.init(jax.random.PRNGKey(0), x)
-    logits = model.apply(variables, x)
+    logits = jax.jit(model.apply)(variables, x)
     assert logits.shape == (2, 2)
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(variables["params"]))
     assert 0.9e5 < n_params < 1.4e5  # ~1.1e5 at defaults (SURVEY.md §6)
@@ -210,17 +211,13 @@ def test_train_mode_updates_batch_stats_and_dropout(rng):
     x = jnp.asarray(rng.standard_normal((4, 3, 512)).astype(np.float32))
     model = CnnGruAttentionModel(num_classes=2)
     variables = model.init(jax.random.PRNGKey(0), x)
-    logits, mutated = model.apply(
-        variables, x, train=True,
-        rngs={"dropout": jax.random.PRNGKey(1)}, mutable=["batch_stats"],
-    )
+    train_apply = jax.jit(lambda v, xb, key: model.apply(
+        v, xb, train=True, rngs={"dropout": key}, mutable=["batch_stats"]))
+    logits, mutated = train_apply(variables, x, jax.random.PRNGKey(1))
     before = variables["batch_stats"]["cnn_encoder"]["bn1"]["mean"]
     after = mutated["batch_stats"]["cnn_encoder"]["bn1"]["mean"]
     assert not np.allclose(np.asarray(before), np.asarray(after))
-    logits2, _ = model.apply(
-        variables, x, train=True,
-        rngs={"dropout": jax.random.PRNGKey(2)}, mutable=["batch_stats"],
-    )
+    logits2, _ = train_apply(variables, x, jax.random.PRNGKey(2))
     assert not np.allclose(np.asarray(logits), np.asarray(logits2))
 
 
@@ -235,7 +232,7 @@ def test_grads_flow(rng):
         onehot = jax.nn.one_hot(y, 2)
         return -jnp.mean(jnp.sum(onehot * jax.nn.log_softmax(logits), axis=-1))
 
-    grads = jax.grad(loss_fn)(variables["params"])
+    grads = jax.jit(jax.grad(loss_fn))(variables["params"])
     norms = [float(jnp.abs(g).max()) for g in jax.tree_util.tree_leaves(grads)]
     assert all(np.isfinite(n) for n in norms)
     assert max(norms) > 0
@@ -256,8 +253,8 @@ def test_bfloat16_compute_path(rng):
     # Params must be float32 regardless of compute dtype.
     leaves = jax.tree_util.tree_leaves(variables["params"])
     assert all(p.dtype == jnp.float32 for p in leaves)
-    out32 = m32.apply(variables, x, train=False)
-    out16 = m16.apply(variables, x, train=False)
+    out32 = jax.jit(lambda v, xb: m32.apply(v, xb, train=False))(variables, x)
+    out16 = jax.jit(lambda v, xb: m16.apply(v, xb, train=False))(variables, x)
     assert out16.dtype == jnp.float32
     import numpy as np
     np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),

@@ -101,7 +101,8 @@ def test_forward_parity_with_torch_reference(rng, gru_impl):
                               gru_impl=gru_impl)
     variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
     variables = transplant_weights(tm, variables)
-    got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
+    got = np.asarray(jax.jit(lambda v, xb: fm.apply(v, xb, train=False))(
+        variables, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 

@@ -91,10 +91,16 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     trainer.train((x, y), (x[:16], y[:16]))
     state = trainer.state
     save_state(tmp_path / "ckpt.msgpack", state)
-    # Restore into a fresh template and check logits agree.
-    trainer2 = Trainer(model, tmp_path / "f2", cfg, num_classes=2, seed=1)
-    trainer2.train((x, y), (x[:16], y[:16]))  # different params
-    restored = restore_state(tmp_path / "ckpt.msgpack", trainer2.state)
+    # Restore into a fresh differently-seeded template and check logits agree.
+    import jax
+
+    from multimodalsignal_tpu.train.optim import make_optimizer
+    from multimodalsignal_tpu.train.trainer import init_train_state
+
+    template = init_train_state(
+        model, jax.random.PRNGKey(1), jnp.asarray(x[:1]),
+        make_optimizer(cfg.learning_rate, cfg.weight_decay))
+    restored = restore_state(tmp_path / "ckpt.msgpack", template)
     xb = jnp.asarray(x[:4])
     logits_a = model.apply(
         {"params": state.params, "batch_stats": state.batch_stats}, xb)
