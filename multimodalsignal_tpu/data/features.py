@@ -57,11 +57,15 @@ FEATURE_NAMES = (
 # ECG / HRV
 # --------------------------------------------------------------------------
 
-def detect_r_peaks(ecg: np.ndarray, fs: float) -> np.ndarray:
+def detect_r_peaks(ecg: np.ndarray, fs: float, filt: np.ndarray | None = None) -> np.ndarray:
     """R-peak detection: QRS bandpass -> squared energy -> moving integration
-    -> adaptive-threshold peaks (Pan-Tompkins-style)."""
-    sos = _butter_sos(3, 5.0, 30.0, "bandpass", fs)
-    filt = sps.sosfiltfilt(sos, ecg)
+    -> adaptive-threshold peaks (Pan-Tompkins-style).
+
+    `filt` optionally supplies the QRS-bandpassed signal (the batch extractor
+    filters all windows of a subject in one vectorized sosfiltfilt call)."""
+    if filt is None:
+        sos = _butter_sos(3, 5.0, 30.0, "bandpass", fs)
+        filt = sps.sosfiltfilt(sos, ecg)
     energy = filt**2
     win = max(int(0.12 * fs), 1)
     integ = np.convolve(energy, np.ones(win) / win, mode="same")
@@ -103,9 +107,9 @@ def sample_entropy(x: np.ndarray, m: int = 2, r_factor: float = 0.2) -> float:
     return -np.log(a / b)
 
 
-def hrv_features(ecg: np.ndarray, fs: float) -> dict[str, float]:
+def hrv_features(ecg: np.ndarray, fs: float, filt: np.ndarray | None = None) -> dict[str, float]:
     """Time/frequency/complexity HRV metrics from one ECG window."""
-    rpeaks = detect_r_peaks(np.asarray(ecg, dtype=np.float64), fs)
+    rpeaks = detect_r_peaks(np.asarray(ecg, dtype=np.float64), fs, filt=filt)
     if len(rpeaks) < 4:
         raise ValueError("too few R peaks for HRV")
     rr_ms = np.diff(rpeaks) / fs * 1000.0
@@ -156,24 +160,39 @@ def eda_features(eda: np.ndarray, fs: float) -> dict[str, float]:
     min(16, fs) Hz, split tonic/phasic, count SCR peaks, linregress the tonic.
     """
     eda = np.asarray(eda, dtype=np.float64)
-    target_fs = min(16.0, fs)
-    num = int(len(eda) * (target_fs / fs))
     # Detrend before the Fourier resample: EDA has strong tonic drift, and
     # FFT-resampling a non-periodic window rings (Gibbs) off the wrap-around
     # discontinuity — enough to fabricate SCR peaks above the amplitude gate
     # (pinned by tests/test_features.py's linear-ramp golden test). The
     # linear trend is removed, the residual resampled, and the trend
     # re-evaluated on the new time base.
-    t0 = np.arange(len(eda), dtype=np.float64)
-    slope0, intercept0 = np.polyfit(t0, eda, 1)
-    resid = eda - (intercept0 + slope0 * t0)
-    t_new = np.arange(num, dtype=np.float64) * (len(eda) / max(num, 1))
-    x = fourier_resample_np(resid, num) + intercept0 + slope0 * t_new
+    x, target_fs = _eda_resample_detrended(eda, fs)
     # Tonic = slow component (highpass-method decomposition at 0.05 Hz,
     # the same cutoff neurokit2's default eda_phasic uses).
     sos = _butter_sos(2, 0.05, None, "lowpass", target_fs)
     tonic = sps.sosfiltfilt(sos, x)
     phasic = x - tonic
+    return _eda_from_decomposed(tonic, phasic, target_fs)
+
+
+def _eda_resample_detrended(eda: np.ndarray, fs: float) -> tuple[np.ndarray, float]:
+    """Detrend-resample-retrend one or many EDA windows ([T] or [N, T]) to
+    min(16, fs) Hz along the last axis; returns (resampled, target_fs)."""
+    t_len = eda.shape[-1]
+    target_fs = min(16.0, fs)
+    num = int(t_len * (target_fs / fs))
+    t0 = np.arange(t_len, dtype=np.float64)
+    coef = np.polyfit(t0, eda.T if eda.ndim == 2 else eda, 1)
+    slope0, intercept0 = coef[0], coef[1]  # scalars or [N]
+    if eda.ndim == 2:
+        slope0, intercept0 = slope0[:, None], intercept0[:, None]
+    resid = eda - (intercept0 + slope0 * t0)
+    t_new = np.arange(num, dtype=np.float64) * (t_len / max(num, 1))
+    return fourier_resample_np(resid, num, axis=-1) + intercept0 + slope0 * t_new, target_fs
+
+
+def _eda_from_decomposed(tonic: np.ndarray, phasic: np.ndarray, target_fs: float) -> dict[str, float]:
+    """SCR count + tonic slope from one window's tonic/phasic decomposition."""
     # SCR peaks: amplitude-gated local maxima of the phasic component.
     amp_min = max(0.01, 0.05 * np.std(phasic))
     peaks, _ = sps.find_peaks(phasic, height=amp_min, distance=int(0.5 * target_fs))
@@ -185,12 +204,13 @@ def eda_features(eda: np.ndarray, fs: float) -> dict[str, float]:
 # Respiration
 # --------------------------------------------------------------------------
 
-def resp_features(resp: np.ndarray, fs: float) -> dict[str, float]:
+def resp_features(resp: np.ndarray, fs: float, filt: np.ndarray | None = None) -> dict[str, float]:
     """Breath-rate mean and variability (the RSP_Rate mean/std the reference
     pulls from neurokit2's rsp_process, preprocess.py:110-117)."""
     resp = np.asarray(resp, dtype=np.float64)
-    sos = _butter_sos(2, 0.05, 1.0, "bandpass", fs)
-    filt = sps.sosfiltfilt(sos, resp)
+    if filt is None:
+        sos = _butter_sos(2, 0.05, 1.0, "bandpass", fs)
+        filt = sps.sosfiltfilt(sos, resp)
     min_dist = int(fs / 0.8)  # max 48 breaths/min
     prominence = 0.2 * np.std(filt)
     peaks, _ = sps.find_peaks(filt, distance=min_dist, prominence=prominence)
@@ -242,14 +262,71 @@ def extract_features_batch(
 ) -> np.ndarray:
     """Feature matrix [N, F] for N windows.
 
-    `windows` maps channel name -> [N, T] arrays. Runs the per-window
-    extractors in a tight host loop; unlike the reference there is no
-    per-window python/neurokit2 pipeline re-setup, and failures stay NaN.
+    `windows` maps channel name -> [N, T] arrays. The linear DSP — ECG QRS
+    bandpass, Resp bandpass, EDA detrend/Fourier-resample/tonic lowpass — runs
+    ONCE per subject as vectorized [N, T] calls (sosfiltfilt/rfft/polyfit all
+    operate per-row along the last axis, so results match the per-window
+    extractors; pinned by tests/test_features.py::test_batch_matches_per_window).
+    Only the per-window peak bookkeeping (find_peaks, RR math, SampEn) stays in
+    the host loop. Failures stay NaN per window per feature group, matching the
+    reference's try/except contract (preprocess.py:92-122).
     """
     n = next(iter(windows.values())).shape[0]
     out = np.empty((n, len(FEATURE_NAMES)), dtype=np.float64)
+    if n == 0:
+        return out
+
+    def _batch_dsp(key: str, f):
+        """Vectorized whole-subject DSP; None disables the precomputed path
+        (the per-window extractors then recompute their own, preserving the
+        one-window failure envelope)."""
+        if key not in windows:
+            return None
+        try:
+            return f(np.asarray(windows[key], dtype=np.float64))
+        except Exception:
+            return None
+
+    ecg_filt = _batch_dsp("chest_ECG", lambda x: sps.sosfiltfilt(
+        _butter_sos(3, 5.0, 30.0, "bandpass", fs), x, axis=-1))
+    resp_filt = _batch_dsp("chest_Resp", lambda x: sps.sosfiltfilt(
+        _butter_sos(2, 0.05, 1.0, "bandpass", fs), x, axis=-1))
+
+    def _eda_decompose(x_all: np.ndarray):
+        x, target_fs = _eda_resample_detrended(x_all, fs)
+        tonic = sps.sosfiltfilt(
+            _butter_sos(2, 0.05, None, "lowpass", target_fs), x, axis=-1)
+        return tonic, x - tonic, target_fs
+
+    eda_parts = _batch_dsp("chest_EDA", _eda_decompose)
+
     for i in range(n):
         w = {k: v[i] for k, v in windows.items()}
-        feats = extract_handcrafted_features(w, fs)
+        feats: dict[str, float] = {}
+        try:
+            feats.update(hrv_features(
+                w["chest_ECG"], fs,
+                filt=None if ecg_filt is None else ecg_filt[i]))
+        except Exception:
+            for k in ("HRV_RMSSD", "HRV_SDNN", "HRV_LFHF", "HRV_HF", "HRV_SampEn"):
+                feats[k] = np.nan
+        try:
+            if eda_parts is not None:
+                tonic, phasic, target_fs = eda_parts
+                feats.update(_eda_from_decomposed(tonic[i], phasic[i], target_fs))
+            else:
+                feats.update(eda_features(w["chest_EDA"], fs))
+        except Exception:
+            feats["EDA_SCR_Peaks_N"] = np.nan
+            feats["EDA_Tonic_Slope"] = np.nan
+        try:
+            feats.update(resp_features(
+                w["chest_Resp"], fs,
+                filt=None if resp_filt is None else resp_filt[i]))
+        except Exception:
+            feats["RESP_Rate_Mean"] = np.nan
+            feats["RESP_RRV_SDNN"] = np.nan
+        emg = w.get("chest_EMG")
+        feats["EMG_Amplitude_Mean"] = float(np.mean(np.abs(emg))) if emg is not None else np.nan
         out[i] = [feats[k] for k in FEATURE_NAMES]
     return out

@@ -202,3 +202,45 @@ def test_eda_tonic_slope_on_linear_ramp():
     # No fabricated SCRs: the detrended resample kills the Gibbs ringing a
     # plain FFT resample of this non-periodic ramp produces (23 fake peaks).
     assert feats["EDA_SCR_Peaks_N"] == 0
+
+
+def test_batch_matches_per_window():
+    """The batched extractor's vectorized whole-subject DSP (one sosfiltfilt /
+    rfft / polyfit over [N, T]) must reproduce the per-window extractors,
+    including a NaN-poisoned window staying contained to its own row."""
+    from multimodalsignal_tpu.data.features import extract_features_batch
+
+    rng = np.random.default_rng(7)
+    t = np.arange(T) / FS
+    n = 6
+    windows = {
+        "chest_ECG": np.stack([_ecg(60.0 + 5 * i, jitter=0.01 * i, seed=i) for i in range(n)]),
+        "chest_EDA": np.stack([
+            2.0 + 0.1 * i + 0.3 * np.sin(2 * np.pi * (0.02 + 0.005 * i) * t)
+            + 0.01 * rng.standard_normal(T) for i in range(n)
+        ]),
+        "chest_Resp": np.stack([
+            np.sin(2 * np.pi * (0.2 + 0.02 * i) * t)
+            + 0.05 * rng.standard_normal(T) for i in range(n)
+        ]),
+        "chest_EMG": 0.05 * rng.standard_normal((n, T)),
+    }
+    windows["chest_ECG"][3, 100] = np.nan  # poison one window
+
+    batch = extract_features_batch(windows, FS)
+    ref = np.stack([
+        [extract_handcrafted_features({k: v[i] for k, v in windows.items()}, FS)[name]
+         for name in FEATURE_NAMES]
+        for i in range(n)
+    ])
+    assert batch.shape == ref.shape == (n, len(FEATURE_NAMES))
+    assert np.array_equal(np.isnan(batch), np.isnan(ref))
+    np.testing.assert_allclose(batch, ref, rtol=1e-7, atol=1e-12, equal_nan=True)
+    # Integer-valued peak-count features must agree exactly.
+    for j, name in enumerate(FEATURE_NAMES):
+        if name == "EDA_SCR_Peaks_N":
+            ok = ~np.isnan(ref[:, j])
+            assert np.array_equal(batch[ok, j], ref[ok, j])
+    # The poisoned window NaNs its HRV group only; neighbours stay finite.
+    assert np.isnan(batch[3, :5]).all()
+    assert np.isfinite(batch[2]).all() and np.isfinite(batch[4]).all()
