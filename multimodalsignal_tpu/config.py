@@ -158,6 +158,13 @@ class ExperimentConfig:
     raw_align_path: str = ""
     feature_path: str = ""
     features_to_use: tuple[str, ...] = ()
+    # Stage straight from raw WESAD pickles (path to the WESAD root): the
+    # sharded sweep preprocesses each subject in memory (resample + window)
+    # and packs the corpus without the intermediate npy round-trip —
+    # `data_path` is then ignored. Preprocessing parameters are the
+    # PreprocessConfig defaults (700->128 Hz, 60 s / 10 s), wrist channels
+    # are included automatically when channels_to_use asks for any wrist_*.
+    from_pickles: str = ""
     # Fold execution: "serial" python loop (reference main.py:98) or "sharded"
     # — all folds as one vmapped computation over a `fold` mesh axis.
     fold_execution: str = "sharded"
@@ -196,6 +203,22 @@ def validate_experiment(cfg: "ExperimentConfig",
     would crash deep inside the trainer (a raw-only WindowDataset fed to a
     tuple-input model). Fail with guidance instead.
     """
+    if cfg.from_pickles:
+        effective = fold_execution or cfg.fold_execution
+        if effective != "sharded":
+            raise ValueError(
+                "from_pickles staging is implemented for the sharded sweep "
+                "only (--execution sharded); the serial path reads the "
+                "preprocessed npy contract. Run the preprocess CLI first "
+                "for serial execution."
+            )
+        if cfg.model.name == "hybrid_cnn_gru":
+            raise ValueError(
+                "from_pickles staging does not support hybrid_cnn_gru "
+                "(the hybrid model needs the offline 'feature' and "
+                "'raw-align' preprocess targets); run the preprocess CLI "
+                "and set raw_align_path/feature_path instead."
+            )
     if cfg.model.name != "hybrid_cnn_gru":
         return
     if not (cfg.raw_align_path and cfg.feature_path):

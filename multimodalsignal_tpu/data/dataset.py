@@ -396,14 +396,13 @@ class PackedCorpus:
         return self.feat.reshape(s * wmax, self.feat.shape[2])
 
 
-def _pack_subject_fused(data_path, sid, channel_indices, channels_to_use,
+def _pack_arrays_native(x_raw, y_raw, channel_indices, channels_to_use,
                         classification_mode, normalization):
-    """Native fast path for pack_corpus: mmap the subject's X and run the
-    C++ fused select+normalize+transpose (native.pack_subject_f32) — two
-    streaming passes instead of ~5 NumPy array copies. Returns
-    (sid, x [keep, C, T] float32, y [keep]) or None when the engine is
-    unavailable / the scheme is not a plain z-score (NumPy path remains
-    the behavioral oracle, equality covered by tests/test_native.py)."""
+    """Native fused select+normalize+transpose (native.pack_subject_f32) on
+    in-memory or mmap'd arrays — two streaming passes instead of ~5 NumPy
+    array copies. Returns (x [keep, C, T] float32, y [keep]) or None when the
+    engine is unavailable / the scheme is not a plain z-score (the NumPy path
+    remains the behavioral oracle, equality covered by tests/test_native.py)."""
     if normalization not in ("all", "baseline"):
         return None
     try:
@@ -411,17 +410,8 @@ def _pack_subject_fused(data_path, sid, channel_indices, channels_to_use,
 
         if not native.available():
             return None
-        data_path = Path(data_path)
-        x_file = data_path / f"{sid}_X.npy"
-        y_file = data_path / f"{sid}_y.npy"
-        if not x_file.exists() or not y_file.exists():
-            # load_subject_windows prints the skip warning on the fallback
-            # path; staying silent here avoids a duplicate message.
-            return None
-        x_raw = np.load(x_file, mmap_mode="r")
         if x_raw.dtype != np.float32 or x_raw.ndim != 3:
             return None
-        y_raw = np.load(y_file)
         y, keep = map_labels(y_raw, classification_mode)
         if normalization == "baseline" and (y_raw == 1).any():
             stat_rows = y_raw == 1
@@ -436,11 +426,72 @@ def _pack_subject_fused(data_path, sid, channel_indices, channels_to_use,
         x_packed = native.pack_subject_f32(
             x_raw, np.asarray(channel_indices), log1p_mask, stat_rows, keep
         )
-        return sid, x_packed, y[keep]
+        return x_packed, y[keep]
     except Exception as exc:  # pragma: no cover - defensive fallback
-        print(f"Warning: native fused pack failed for {sid} ({exc}); "
+        print(f"Warning: native fused pack failed ({exc}); "
               "using the NumPy path.")
         return None
+
+
+def _pack_arrays(x_raw, y_raw, channel_indices, channels_to_use,
+                 classification_mode, normalization):
+    """One subject's select+map+normalize+transpose from in-memory arrays:
+    the native fused pack when available, else the NumPy oracle path.
+    Returns (x [keep, C, T], y [keep])."""
+    fused = _pack_arrays_native(x_raw, y_raw, channel_indices,
+                                channels_to_use, classification_mode,
+                                normalization)
+    if fused is not None:
+        return fused
+    x_sel = x_raw[:, :, channel_indices]
+    y, keep = map_labels(y_raw, classification_mode)
+    x_norm = normalize_subject(x_sel, y_raw, channels_to_use, normalization)
+    return x_norm[keep].transpose(0, 2, 1), y[keep]
+
+
+def _pack_subject_fused(data_path, sid, channel_indices, channels_to_use,
+                        classification_mode, normalization):
+    """Native fast path for pack_corpus: mmap the subject's X npy and run
+    _pack_arrays_native. Returns (sid, x, y) or None (NumPy fallback)."""
+    if normalization not in ("all", "baseline"):
+        return None
+    data_path = Path(data_path)
+    x_file = data_path / f"{sid}_X.npy"
+    y_file = data_path / f"{sid}_y.npy"
+    if not x_file.exists() or not y_file.exists():
+        # load_subject_windows prints the skip warning on the fallback
+        # path; staying silent here avoids a duplicate message.
+        return None
+    try:
+        x_raw = np.load(x_file, mmap_mode="r")
+        y_raw = np.load(y_file)
+    except Exception:  # pragma: no cover - unreadable file; loader warns
+        return None
+    fused = _pack_arrays_native(x_raw, y_raw, channel_indices,
+                                channels_to_use, classification_mode,
+                                normalization)
+    if fused is None:
+        return None
+    return (sid, *fused)
+
+
+def _stack_packed(per_subject) -> PackedCorpus:
+    """Pad per-subject (sid, x [n, C, T], y [n]) tuples to a common window
+    count and stack into one PackedCorpus."""
+    wmax = max(x.shape[0] for _, x, _ in per_subject)
+    s = len(per_subject)
+    c, t = per_subject[0][1].shape[1:]
+    x_out = np.zeros((s, wmax, c, t), dtype=np.float32)
+    y_out = np.zeros((s, wmax), dtype=np.int32)
+    mask = np.zeros((s, wmax), dtype=bool)
+    sids = []
+    for i, (sid, x, y) in enumerate(per_subject):
+        n = x.shape[0]
+        x_out[i, :n] = x
+        y_out[i, :n] = y
+        mask[i, :n] = True
+        sids.append(sid)
+    return PackedCorpus(x_out, y_out, mask, tuple(sids))
 
 
 # Bump when the packed layout or normalization math changes: invalidates
@@ -627,25 +678,141 @@ def pack_corpus(
     per_subject = [p for p in packed if p is not None]
     if not per_subject:
         raise ValueError(f"No data loaded for subjects: {subjects}.")
-    wmax = max(x.shape[0] for _, x, _ in per_subject)
-    s = len(per_subject)
-    c, t = per_subject[0][1].shape[1:]
-    x_out = np.zeros((s, wmax, c, t), dtype=np.float32)
-    y_out = np.zeros((s, wmax), dtype=np.int32)
-    mask = np.zeros((s, wmax), dtype=bool)
-    sids = []
-    for i, (sid, x, y) in enumerate(per_subject):
-        n = x.shape[0]
-        x_out[i, :n] = x
-        y_out[i, :n] = y
-        mask[i, :n] = True
-        sids.append(sid)
-    corpus = PackedCorpus(x_out, y_out, mask, tuple(sids))
+    corpus = _stack_packed(per_subject)
     if use_cache:
         max_bytes = int(float(os.environ.get("MMS_PACK_CACHE_GB", "16"))
                         * (1 << 30))
         _pack_cache_store(cache_dir, key, corpus, max_bytes)
     return corpus
+
+
+def pack_corpus_from_pickles(
+    wesad_root: Path | str,
+    subjects: list[str],
+    channels_to_use: list[str],
+    classification_mode: str = "stress_binary",
+    normalization: str = "all",
+    preprocess_cfg=None,
+    workers: int | None = None,
+    cache: bool | None = None,
+) -> tuple[PackedCorpus, list[str], dict]:
+    """Stage the sharded sweep's corpus straight from raw WESAD pickles.
+
+    Fuses preprocess (resample + window, data/preprocess.py) with the corpus
+    pack in memory, skipping the intermediate npy round-trip entirely — on
+    this project's measured host the two-step pipeline writes + re-reads
+    ~2.8 GB through an ~81 MB/s buffered-write ceiling that dwarfs the 36 s
+    of actual preprocessing compute (benchmarks/RESULTS.md "Complete
+    pipeline"). Bit-identical to preprocess-CLI-then-pack_corpus (pinned by
+    tests/test_from_pickles.py): preprocess_subject produces the same float32
+    windows the npy files would hold, and _pack_arrays is the same
+    select/normalize/pack both paths share.
+
+    Returns (corpus, all_channel_names, preprocess_meta) — the meta dict
+    matches what the preprocess CLI persists in _preprocess_meta.json (the
+    serving-time windowing contract).
+    """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from multimodalsignal_tpu.config import (
+        ALL_CHANNEL_NAMES,
+        WRIST_CHANNEL_NAMES,
+        PreprocessConfig,
+    )
+    from multimodalsignal_tpu.data.preprocess import preprocess_subject
+
+    if preprocess_cfg is None:
+        preprocess_cfg = PreprocessConfig(
+            wesad_root=str(wesad_root),
+            targets=("raw",),
+            subjects=tuple(subjects),
+            include_wrist=any(ch.startswith("wrist_") for ch in channels_to_use),
+        )
+    all_channel_names = list(ALL_CHANNEL_NAMES)
+    if preprocess_cfg.include_wrist:
+        all_channel_names += list(WRIST_CHANNEL_NAMES)
+    unknown = [ch for ch in channels_to_use if ch not in all_channel_names]
+    if unknown:
+        raise ValueError(
+            f"Unknown channels {unknown}; from-pickles staging produces "
+            f"{all_channel_names}."
+        )
+    channel_indices = [all_channel_names.index(ch) for ch in channels_to_use]
+    meta = {
+        "original_fs": preprocess_cfg.original_chest_fs,
+        "fs": preprocess_cfg.raw_fs,
+        "window_sec": preprocess_cfg.raw_window_sec,
+        "stride_sec": preprocess_cfg.raw_stride_sec,
+        "include_wrist": preprocess_cfg.include_wrist,
+    }
+
+    use_cache = _pack_cache_enabled(cache)
+    cache_dir = Path(wesad_root) / ".pack_cache"
+    key = None
+    if use_cache:
+        key = _pickles_cache_key(wesad_root, subjects, channels_to_use,
+                                 classification_mode, normalization, meta)
+        hit = _pack_cache_load(cache_dir, key)
+        if hit is not None:
+            print(f"  pack cache hit: {cache_dir / key}")
+            return hit, all_channel_names, meta
+
+    def pack_one(sid):
+        result = preprocess_subject(sid, preprocess_cfg)
+        if result is None:
+            return None
+        x_raw, y_raw = result["raw"]
+        x, y = _pack_arrays(
+            np.ascontiguousarray(x_raw, dtype=np.float32), y_raw,
+            channel_indices, channels_to_use, classification_mode,
+            normalization,
+        )
+        return sid, x, y
+
+    if workers is None:
+        workers = min(8, len(subjects))
+    if workers > 1 and len(subjects) > 1:
+        # The per-subject DSP is NumPy/scipy whose kernels release the GIL;
+        # on multi-core hosts subjects overlap (1-core hosts: no harm).
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            packed = list(ex.map(pack_one, subjects))  # order-preserving
+    else:
+        packed = [pack_one(sid) for sid in subjects]
+    per_subject = [p for p in packed if p is not None]
+    if not per_subject:
+        raise ValueError(f"No pickles loaded for subjects: {subjects}.")
+    corpus = _stack_packed(per_subject)
+    if use_cache:
+        max_bytes = int(float(os.environ.get("MMS_PACK_CACHE_GB", "16"))
+                        * (1 << 30))
+        _pack_cache_store(cache_dir, key, corpus, max_bytes)
+    return corpus, all_channel_names, meta
+
+
+def _pickles_cache_key(wesad_root, subjects, channels_to_use,
+                       classification_mode, normalization, meta) -> str:
+    """Pack-cache key for pickle-staged corpora: the pack inputs, the
+    preprocess parameters, and the (mtime_ns, size) of every subject's pkl
+    and quest csv."""
+    import hashlib
+    import json
+
+    root = Path(wesad_root)
+    states = []
+    for sid in subjects:
+        for f in (root / sid / f"{sid}.pkl", root / sid / f"{sid}_quest.csv"):
+            try:
+                st = f.stat()
+                states.append([f.name, st.st_mtime_ns, st.st_size])
+            except OSError:
+                states.append([f.name, None, None])
+    payload = json.dumps([
+        _PACK_CACHE_VERSION, "pickles", list(subjects),
+        list(channels_to_use), classification_mode, normalization,
+        meta, states,
+    ])
+    return hashlib.sha256(payload.encode()).hexdigest()[:24]
 
 
 def pack_hybrid_corpus(

@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "launch, run sequentially (bounds HBM working set; "
                         "compiled program reused across launches). Auto-"
                         "halves on RESOURCE_EXHAUSTED either way.")
+    p.add_argument("--from-pickles", type=Path, default=None, metavar="WESAD",
+                   help="stage straight from the raw WESAD pickles at this "
+                        "root: preprocess (resample + window) fuses with the "
+                        "corpus pack in memory, skipping the npy round-trip "
+                        "(sharded execution only; sets cfg.from_pickles)")
     return p
 
 
@@ -78,6 +83,15 @@ def load_config(args) -> ExperimentConfig | HierarchicalConfig:
         overrides[key.strip()] = _parse_value(raw.strip())
     if overrides:
         cfg = apply_overrides(cfg, overrides)
+    if args.from_pickles is not None:
+        if args.hierarchical:
+            raise SystemExit(
+                "--from-pickles is not supported with --hierarchical yet; "
+                "run the preprocess CLI first."
+            )
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, from_pickles=str(args.from_pickles))
     return cfg
 
 

@@ -44,6 +44,7 @@ from multimodalsignal_tpu.config import ExperimentConfig, save_config
 from multimodalsignal_tpu.data.dataset import (
     PackedCorpus,
     pack_corpus,
+    pack_corpus_from_pickles,
     pack_hybrid_corpus,
     read_channel_names,
     read_preprocess_meta,
@@ -693,24 +694,35 @@ def run_sharded_experiment(
     raw_path = cfg.raw_align_path if hybrid else cfg.data_path
     run_output_dir = Path(run_output_dir)
     run_output_dir.mkdir(parents=True, exist_ok=True)
-    save_config(cfg, run_output_dir / "config.json",
-                extra={"preprocess_meta": read_preprocess_meta(raw_path)})
-    if all_channel_names is None:
-        all_channel_names = read_channel_names(raw_path)
 
-    if hybrid:
-        corpus = pack_hybrid_corpus(
-            cfg.raw_align_path, cfg.feature_path, list(cfg.subjects),
-            list(cfg.channels_to_use), all_channel_names,
-            features_to_use=list(cfg.features_to_use) or None,
-            classification_mode=cfg.classification_mode,
-            normalization=cfg.normalization,
+    if cfg.from_pickles:
+        # Fused preprocess+pack straight from the raw pickles: no npy
+        # round-trip (validate_experiment guarantees non-hybrid here).
+        corpus, all_channel_names, meta = pack_corpus_from_pickles(
+            cfg.from_pickles, list(cfg.subjects), list(cfg.channels_to_use),
+            cfg.classification_mode, cfg.normalization,
         )
+        save_config(cfg, run_output_dir / "config.json",
+                    extra={"preprocess_meta": meta})
     else:
-        corpus = pack_corpus(
-            cfg.data_path, list(cfg.subjects), list(cfg.channels_to_use),
-            all_channel_names, cfg.classification_mode, cfg.normalization,
-        )
+        save_config(cfg, run_output_dir / "config.json",
+                    extra={"preprocess_meta": read_preprocess_meta(raw_path)})
+        if all_channel_names is None:
+            all_channel_names = read_channel_names(raw_path)
+
+        if hybrid:
+            corpus = pack_hybrid_corpus(
+                cfg.raw_align_path, cfg.feature_path, list(cfg.subjects),
+                list(cfg.channels_to_use), all_channel_names,
+                features_to_use=list(cfg.features_to_use) or None,
+                classification_mode=cfg.classification_mode,
+                normalization=cfg.normalization,
+            )
+        else:
+            corpus = pack_corpus(
+                cfg.data_path, list(cfg.subjects), list(cfg.channels_to_use),
+                all_channel_names, cfg.classification_mode, cfg.normalization,
+            )
     mesh, padded = make_fold_mesh(len(corpus.subjects), devices)
     fb = build_fold_batch(corpus, list(cfg.subjects), cfg.val_fraction,
                           cfg.seed, pad_folds_to=padded)

@@ -37,6 +37,7 @@ from jax.sharding import Mesh
 from multimodalsignal_tpu.config import ExperimentConfig, save_config
 from multimodalsignal_tpu.data.dataset import (
     pack_corpus,
+    pack_corpus_from_pickles,
     pack_hybrid_corpus,
     read_channel_names,
     read_preprocess_meta,
@@ -194,25 +195,35 @@ def run_replicated_experiment(
     raw_path = cfg.raw_align_path if hybrid else cfg.data_path
     run_output_dir = Path(run_output_dir)
     run_output_dir.mkdir(parents=True, exist_ok=True)
-    save_config(cfg, run_output_dir / "config.json",
-                extra={"preprocess_meta": read_preprocess_meta(raw_path),
-                       "replicate_seeds": list(seeds)})
-    if all_channel_names is None:
-        all_channel_names = read_channel_names(raw_path)
 
-    if hybrid:
-        corpus = pack_hybrid_corpus(
-            cfg.raw_align_path, cfg.feature_path, list(cfg.subjects),
-            list(cfg.channels_to_use), all_channel_names,
-            features_to_use=list(cfg.features_to_use) or None,
-            classification_mode=cfg.classification_mode,
-            normalization=cfg.normalization,
+    if cfg.from_pickles:
+        corpus, all_channel_names, meta = pack_corpus_from_pickles(
+            cfg.from_pickles, list(cfg.subjects), list(cfg.channels_to_use),
+            cfg.classification_mode, cfg.normalization,
         )
+        save_config(cfg, run_output_dir / "config.json",
+                    extra={"preprocess_meta": meta,
+                           "replicate_seeds": list(seeds)})
     else:
-        corpus = pack_corpus(
-            cfg.data_path, list(cfg.subjects), list(cfg.channels_to_use),
-            all_channel_names, cfg.classification_mode, cfg.normalization,
-        )
+        save_config(cfg, run_output_dir / "config.json",
+                    extra={"preprocess_meta": read_preprocess_meta(raw_path),
+                           "replicate_seeds": list(seeds)})
+        if all_channel_names is None:
+            all_channel_names = read_channel_names(raw_path)
+
+        if hybrid:
+            corpus = pack_hybrid_corpus(
+                cfg.raw_align_path, cfg.feature_path, list(cfg.subjects),
+                list(cfg.channels_to_use), all_channel_names,
+                features_to_use=list(cfg.features_to_use) or None,
+                classification_mode=cfg.classification_mode,
+                normalization=cfg.normalization,
+            )
+        else:
+            corpus = pack_corpus(
+                cfg.data_path, list(cfg.subjects), list(cfg.channels_to_use),
+                all_channel_names, cfg.classification_mode, cfg.normalization,
+            )
     chunk = min(seed_chunk or len(seeds), len(seeds))
     staging_s = time.time() - t0
     while True:  # retry loop: halve the per-launch seed count on OOM
