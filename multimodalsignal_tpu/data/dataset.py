@@ -686,6 +686,34 @@ def pack_corpus(
     return corpus
 
 
+def from_pickles_meta(channels_to_use, preprocess_cfg=None) -> tuple[list[str], dict]:
+    """(all_channel_names, preprocess_meta) that pickle staging of this
+    channel set produces — the meta dict matches the preprocess CLI's
+    _preprocess_meta.json (the serving-time windowing contract)."""
+    from multimodalsignal_tpu.config import (
+        ALL_CHANNEL_NAMES,
+        WRIST_CHANNEL_NAMES,
+        PreprocessConfig,
+    )
+
+    if preprocess_cfg is None:
+        preprocess_cfg = PreprocessConfig(
+            targets=("raw",),
+            include_wrist=any(ch.startswith("wrist_") for ch in channels_to_use),
+        )
+    all_channel_names = list(ALL_CHANNEL_NAMES)
+    if preprocess_cfg.include_wrist:
+        all_channel_names += list(WRIST_CHANNEL_NAMES)
+    meta = {
+        "original_fs": preprocess_cfg.original_chest_fs,
+        "fs": preprocess_cfg.raw_fs,
+        "window_sec": preprocess_cfg.raw_window_sec,
+        "stride_sec": preprocess_cfg.raw_stride_sec,
+        "include_wrist": preprocess_cfg.include_wrist,
+    }
+    return all_channel_names, meta
+
+
 def pack_corpus_from_pickles(
     wesad_root: Path | str,
     subjects: list[str],
@@ -695,6 +723,7 @@ def pack_corpus_from_pickles(
     preprocess_cfg=None,
     workers: int | None = None,
     cache: bool | None = None,
+    subject_cache: dict | None = None,
 ) -> tuple[PackedCorpus, list[str], dict]:
     """Stage the sharded sweep's corpus straight from raw WESAD pickles.
 
@@ -711,15 +740,16 @@ def pack_corpus_from_pickles(
     Returns (corpus, all_channel_names, preprocess_meta) — the meta dict
     matches what the preprocess CLI persists in _preprocess_meta.json (the
     serving-time windowing contract).
+
+    `subject_cache` (optional dict) memoizes each subject's preprocessed
+    windows across calls — the hierarchical sweep packs three corpora
+    (M1 / M2 / union) from the same pickles and preprocesses each subject
+    once. Keyed on (sid, include_wrist); the caller owns the lifetime.
     """
     import os
     from concurrent.futures import ThreadPoolExecutor
 
-    from multimodalsignal_tpu.config import (
-        ALL_CHANNEL_NAMES,
-        WRIST_CHANNEL_NAMES,
-        PreprocessConfig,
-    )
+    from multimodalsignal_tpu.config import PreprocessConfig
     from multimodalsignal_tpu.data.preprocess import preprocess_subject
 
     if preprocess_cfg is None:
@@ -729,9 +759,7 @@ def pack_corpus_from_pickles(
             subjects=tuple(subjects),
             include_wrist=any(ch.startswith("wrist_") for ch in channels_to_use),
         )
-    all_channel_names = list(ALL_CHANNEL_NAMES)
-    if preprocess_cfg.include_wrist:
-        all_channel_names += list(WRIST_CHANNEL_NAMES)
+    all_channel_names, meta = from_pickles_meta(channels_to_use, preprocess_cfg)
     unknown = [ch for ch in channels_to_use if ch not in all_channel_names]
     if unknown:
         raise ValueError(
@@ -739,13 +767,6 @@ def pack_corpus_from_pickles(
             f"{all_channel_names}."
         )
     channel_indices = [all_channel_names.index(ch) for ch in channels_to_use]
-    meta = {
-        "original_fs": preprocess_cfg.original_chest_fs,
-        "fs": preprocess_cfg.raw_fs,
-        "window_sec": preprocess_cfg.raw_window_sec,
-        "stride_sec": preprocess_cfg.raw_stride_sec,
-        "include_wrist": preprocess_cfg.include_wrist,
-    }
 
     use_cache = _pack_cache_enabled(cache)
     cache_dir = Path(wesad_root) / ".pack_cache"
@@ -759,12 +780,21 @@ def pack_corpus_from_pickles(
             return hit, all_channel_names, meta
 
     def pack_one(sid):
-        result = preprocess_subject(sid, preprocess_cfg)
-        if result is None:
+        memo_key = (sid, preprocess_cfg.include_wrist)
+        if subject_cache is not None and memo_key in subject_cache:
+            item = subject_cache[memo_key]
+        else:
+            result = preprocess_subject(sid, preprocess_cfg)
+            item = None
+            if result is not None:
+                x_raw, y_raw = result["raw"]
+                item = (np.ascontiguousarray(x_raw, dtype=np.float32), y_raw)
+            if subject_cache is not None:
+                subject_cache[memo_key] = item
+        if item is None:
             return None
-        x_raw, y_raw = result["raw"]
         x, y = _pack_arrays(
-            np.ascontiguousarray(x_raw, dtype=np.float32), y_raw,
+            item[0], item[1],
             channel_indices, channels_to_use, classification_mode,
             normalization,
         )

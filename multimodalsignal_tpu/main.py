@@ -84,14 +84,13 @@ def load_config(args) -> ExperimentConfig | HierarchicalConfig:
     if overrides:
         cfg = apply_overrides(cfg, overrides)
     if args.from_pickles is not None:
-        if args.hierarchical:
-            raise SystemExit(
-                "--from-pickles is not supported with --hierarchical yet; "
-                "run the preprocess CLI first."
-            )
         import dataclasses
 
-        cfg = dataclasses.replace(cfg, from_pickles=str(args.from_pickles))
+        if args.hierarchical:
+            cfg = dataclasses.replace(cfg, base=dataclasses.replace(
+                cfg.base, from_pickles=str(args.from_pickles)))
+        else:
+            cfg = dataclasses.replace(cfg, from_pickles=str(args.from_pickles))
     return cfg
 
 
@@ -114,6 +113,11 @@ def main(argv=None) -> None:
 
     if args.hierarchical:
         execution = args.execution or cfg.base.fold_execution
+        if cfg.base.from_pickles and execution != "sharded":
+            raise SystemExit(
+                "--from-pickles requires --execution sharded (the serial "
+                "hierarchical path reads the preprocessed npy contract)"
+            )
         if execution == "sharded":
             from multimodalsignal_tpu.parallel.hierarchical_sweep import (
                 run_hierarchical_sharded,

@@ -21,7 +21,9 @@ import numpy as np
 
 from multimodalsignal_tpu.config import HierarchicalConfig, save_config
 from multimodalsignal_tpu.data.dataset import (
+    from_pickles_meta,
     pack_corpus,
+    pack_corpus_from_pickles,
     read_channel_names,
     read_preprocess_meta,
 )
@@ -51,20 +53,38 @@ def run_hierarchical_sharded(
     t0 = time.time()
     run_output_dir = Path(run_output_dir)
     run_output_dir.mkdir(parents=True, exist_ok=True)
-    save_config(cfg, run_output_dir / "config.json",
-                extra={"preprocess_meta": read_preprocess_meta(base.data_path)})
-    if all_channel_names is None:
-        all_channel_names = read_channel_names(base.data_path)
+    if base.from_pickles:
+        # Fused preprocess+pack per (channels, mode) corpus; the shared memo
+        # preprocesses each subject's pickle once across the M1/M2/union packs.
+        _subject_memo: dict = {}
+        _, meta = from_pickles_meta(
+            _ordered_union(cfg.m1_channels, cfg.m2_channels))
+        save_config(cfg, run_output_dir / "config.json",
+                    extra={"preprocess_meta": meta})
+    else:
+        save_config(cfg, run_output_dir / "config.json",
+                    extra={"preprocess_meta": read_preprocess_meta(base.data_path)})
+        if all_channel_names is None:
+            all_channel_names = read_channel_names(base.data_path)
+
+    def stage(channels, mode):
+        if base.from_pickles:
+            corpus, _, _ = pack_corpus_from_pickles(
+                base.from_pickles, list(base.subjects), list(channels),
+                mode, base.normalization, subject_cache=_subject_memo,
+            )
+            return corpus
+        return pack_corpus(
+            base.data_path, list(base.subjects), list(channels),
+            all_channel_names, mode, base.normalization,
+        )
 
     print("=" * 80)
     print("Sharded hierarchical experiment: 2 fold sweeps + composed eval")
     print("=" * 80)
 
     def sweep(channels, mode, model_cfg, tag):
-        corpus = pack_corpus(
-            base.data_path, list(base.subjects), list(channels),
-            all_channel_names, mode, base.normalization,
-        )
+        corpus = stage(channels, mode)
         mesh, padded = make_fold_mesh(len(corpus.subjects), devices)
         fb = build_fold_batch(corpus, list(base.subjects), base.val_fraction,
                               base.seed, pad_folds_to=padded)
@@ -85,10 +105,7 @@ def run_hierarchical_sharded(
     union = _ordered_union(cfg.m1_channels, cfg.m2_channels)
     m1_idx = jnp.asarray([union.index(ch) for ch in cfg.m1_channels], jnp.int32)
     m2_idx = jnp.asarray([union.index(ch) for ch in cfg.m2_channels], jnp.int32)
-    corpus_u = pack_corpus(
-        base.data_path, list(base.subjects), union, all_channel_names,
-        "ternary", base.normalization,
-    )
+    corpus_u = stage(union, "ternary")
     padded = fb1.train_pool.shape[0]
     fb_u = build_fold_batch(corpus_u, list(base.subjects), base.val_fraction,
                             base.seed, pad_folds_to=padded)

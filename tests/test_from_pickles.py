@@ -128,3 +128,35 @@ def test_cli_sharded_from_pickles(wesad_root, tmp_path):
     echo = json.loads((runs[0] / "config.json").read_text())
     assert echo["preprocess_meta"]["fs"] == 128
     assert echo["from_pickles"] == str(wesad_root)
+
+
+def test_subject_memo_shared_across_corpora(wesad_root, preprocessed,  # noqa: F811
+                                            monkeypatch):
+    """The hierarchical sweep packs three corpora (M1/M2/union) from the same
+    pickles; a shared subject_cache must preprocess each subject ONCE while
+    every pack stays bit-identical to its two-step twin."""
+    import multimodalsignal_tpu.data.preprocess as pp
+    from multimodalsignal_tpu.data import dataset as ds
+
+    calls = []
+    real = pp.preprocess_subject
+    monkeypatch.setattr(pp, "preprocess_subject",
+                        lambda sid, cfg: (calls.append(sid), real(sid, cfg))[1])
+    memo = {}
+    subs = SUBJECTS_SMALL[:2]
+    c1, _, _ = ds.pack_corpus_from_pickles(
+        wesad_root, subs, CHANNELS, "stress_binary",
+        subject_cache=memo, cache=False)
+    c2, _, _ = ds.pack_corpus_from_pickles(
+        wesad_root, subs, ["chest_ECG"], "ternary",
+        subject_cache=memo, cache=False)
+    assert sorted(calls) == subs  # second pack served from the memo
+
+    two1 = pack_corpus(preprocessed / "chest_raw", subs, CHANNELS,
+                       list(ALL_CHANNEL_NAMES), "stress_binary", cache=False)
+    two2 = pack_corpus(preprocessed / "chest_raw", subs, ["chest_ECG"],
+                       list(ALL_CHANNEL_NAMES), "ternary", cache=False)
+    np.testing.assert_array_equal(np.asarray(c1.x), np.asarray(two1.x))
+    np.testing.assert_array_equal(c1.y, two1.y)
+    np.testing.assert_array_equal(np.asarray(c2.x), np.asarray(two2.x))
+    np.testing.assert_array_equal(c2.y, two2.y)
