@@ -208,6 +208,12 @@ def probe_run(
             num_classes=cfg.num_classes,
         ))
 
+    if not per_fold:
+        raise FileNotFoundError(
+            f"No fold checkpoints (best_model.msgpack) found under "
+            f"{run_dir}/fold_test_on_*/ — was this run made before "
+            f"checkpoint export, or only partially synced?"
+        )
     agg: dict = {"num_folds": len(per_fold), "model": cfg.model.name,
                  "reduction_ratio": cfg.model.reduction_ratio,
                  "channels": list(cfg.channels_to_use)}

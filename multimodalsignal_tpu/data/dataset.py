@@ -332,10 +332,11 @@ def build_hybrid_dataset(
         y_parts.append(y[keep])
 
         y_feat, keep_feat = map_labels(y_feat_raw, classification_mode)
-        x_feat_norm = normalize_features(
-            x_feat[:, feat_idx], y_feat_raw,
-            "baseline" if normalization == "baseline" else normalization,
-        )
+        # Features use the same scheme as the raw stream (the reference's
+        # HybridDataset normalizes both baseline-referenced,
+        # void/dataset.py:161-171; scheme "all" z-scores both).
+        x_feat_norm = normalize_features(x_feat[:, feat_idx], y_feat_raw,
+                                         normalization)
         feat_parts.append(x_feat_norm[keep_feat])
         y_feat_parts.append(y_feat[keep_feat])
         loaded.append(sid)
@@ -536,7 +537,10 @@ def _pack_cache_load(cache_dir: Path, key: str) -> PackedCorpus | None:
         x = np.load(entry / "x.npy", mmap_mode="r")
         y = np.load(entry / "y.npy")
         mask = np.load(entry / "mask.npy")
-        entry.touch()  # LRU recency for _prune_pack_cache
+        try:
+            entry.touch()  # LRU recency for _prune_pack_cache
+        except OSError:
+            pass  # read-only cache dir: the hit is still a hit
         return PackedCorpus(x, y, mask, tuple(info["subjects"]))
     except OSError:
         return None
@@ -872,7 +876,6 @@ def pack_hybrid_corpus(
         if features_to_use
         else list(range(len(all_feature_names)))
     )
-    feat_scheme = "baseline" if normalization == "baseline" else normalization
     s, wmax = corpus.y.shape
     feat_out = np.zeros((s, wmax, len(feat_idx)), dtype=np.float32)
     for i, sid in enumerate(corpus.subjects):
@@ -884,7 +887,7 @@ def pack_hybrid_corpus(
             )
         x_feat, y_feat_raw = item
         y_feat, keep = map_labels(y_feat_raw, classification_mode)
-        xf = normalize_features(x_feat[:, feat_idx], y_feat_raw, feat_scheme)
+        xf = normalize_features(x_feat[:, feat_idx], y_feat_raw, normalization)
         xf, yk = xf[keep], y_feat[keep]
         n = int(corpus.mask[i].sum())
         if len(yk) != n or not np.array_equal(yk, corpus.y[i, :n]):

@@ -159,7 +159,12 @@ def run_simple_experiment(
         if sid not in _cache:
             try:
                 _cache[sid] = build_one([sid])
-            except ValueError:  # missing subject files (loader warned)
+            except ValueError:
+                # Only the missing-subject-files case is skippable (the
+                # loader warned); configuration errors (bad channel name,
+                # unknown scheme) must propagate, not read as "no data".
+                if (Path(raw_path) / f"{sid}_X.npy").exists():
+                    raise
                 _cache[sid] = None
         return _cache[sid]
 

@@ -285,17 +285,29 @@ class EnsemblePredictor(Predictor):
         if not ckpts:
             raise FileNotFoundError(
                 f"no fold_test_on_*/best_model.msgpack under {run_dir}")
-        members = [Predictor.from_files(c, run_dir / "config.json")
-                   for c in ckpts]
+        # One config parse + one restore template for all folds (the
+        # per-fold checkpoints share the run's architecture); building a
+        # full Predictor per fold would re-init the model F times.
+        raw = json.loads((run_dir / "config.json").read_text())
+        cfg = config_from_dict(ExperimentConfig, raw)
+        model = build_model(cfg.model, cfg.num_classes)
+        tx = make_optimizer(cfg.trainer.learning_rate,
+                            cfg.trainer.weight_decay)
+        sample = jnp.zeros((1, len(cfg.channels_to_use), 128 * 60),
+                           jnp.float32)
+        template = init_train_state(model, jax.random.PRNGKey(0), sample, tx)
         states = jax.tree_util.tree_map(
-            lambda *leaves: np.stack(leaves), *(m.state for m in members))
-        first = members[0]
+            lambda *leaves: np.stack(leaves),
+            *(restore_state(c, template) for c in ckpts))
+        meta = raw.get("preprocess_meta") or {}
         return cls(
-            first.cfg, states,
+            cfg, states,
             fold_names=tuple(c.parent.name.removeprefix("fold_test_on_")
                              for c in ckpts),
-            original_fs=first.original_fs, target_fs=first.target_fs,
-            window_sec=first.window_sec, stride_sec=first.stride_sec,
+            original_fs=int(meta.get("original_fs", 700)),
+            target_fs=int(meta.get("fs", 128)),
+            window_sec=int(meta.get("window_sec", 60)),
+            stride_sec=int(meta.get("stride_sec", 10)),
         )
 
 

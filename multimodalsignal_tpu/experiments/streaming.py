@@ -72,6 +72,7 @@ class StreamingClassifier:
         self._chunks: list[np.ndarray] = []
         self._n = 0                 # total samples received
         self._buf: np.ndarray | None = None
+        self._buf_offset = 0        # absolute sample index of _buf[0]
         self._next_window = 0       # next window index to classify
         self.stats: tuple[np.ndarray, np.ndarray] | None = None
 
@@ -133,13 +134,23 @@ class StreamingClassifier:
         events: list[StreamEvent] = []
         windows = []
         first = self._next_window
-        while (self._next_window * self.stride_samples
+        while (self._next_window * self.stride_samples - self._buf_offset
                + self.window_samples) <= len(self._buf):
-            s = self._next_window * self.stride_samples
+            s = self._next_window * self.stride_samples - self._buf_offset
             windows.append(self._buf[s : s + self.window_samples])
             self._next_window += 1
         if not windows:
             return events
+        # Samples before the next window's start are never read again: trim
+        # them so a long-lived feed stays O(window) in memory instead of
+        # retaining (and re-concatenating) the entire history every push.
+        cut = min(self._next_window * self.stride_samples - self._buf_offset,
+                  len(self._buf))
+        if cut > 0:
+            # `windows` holds views into the old buffer; they are consumed by
+            # np.stack below, after which the old allocation is released.
+            self._buf = self._buf[cut:].copy()
+            self._buf_offset += cut
         mean, std = self.stats
         win = apply_channel_norm(np.stack(windows), self.channel_names,
                                  mean, std)           # [k, T, C]

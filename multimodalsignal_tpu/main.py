@@ -113,6 +113,12 @@ def main(argv=None) -> None:
 
     if args.hierarchical:
         execution = args.execution or cfg.base.fold_execution
+        if args.seeds:
+            raise SystemExit(
+                "--seeds is not supported with --hierarchical (the "
+                "seed-replicated sweep covers the simple LOSO experiment); "
+                "it would otherwise be silently ignored."
+            )
         if cfg.base.from_pickles and execution != "sharded":
             raise SystemExit(
                 "--from-pickles requires --execution sharded (the serial "

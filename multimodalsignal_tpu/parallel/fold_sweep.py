@@ -676,6 +676,46 @@ def run_fold_sweep(
     )
 
 
+def stage_corpus(cfg: ExperimentConfig, run_output_dir: Path,
+                 all_channel_names: list[str] | None = None,
+                 save_extra: dict | None = None) -> PackedCorpus:
+    """Stage a sweep's corpus and write its config echo: from-pickles fused
+    preprocess+pack, hybrid raw+feature pack, or the plain npy pack. Shared
+    by the plain fold sweep and the seed-replicated sweep (the decision tree
+    must not diverge between them)."""
+    extra = dict(save_extra or {})
+    if cfg.from_pickles:
+        # Fused preprocess+pack straight from the raw pickles: no npy
+        # round-trip (validate_experiment guarantees non-hybrid here).
+        corpus, _, meta = pack_corpus_from_pickles(
+            cfg.from_pickles, list(cfg.subjects), list(cfg.channels_to_use),
+            cfg.classification_mode, cfg.normalization,
+        )
+        save_config(cfg, run_output_dir / "config.json",
+                    extra={"preprocess_meta": meta, **extra})
+        return corpus
+
+    hybrid = cfg.model.name == "hybrid_cnn_gru"
+    raw_path = cfg.raw_align_path if hybrid else cfg.data_path
+    save_config(cfg, run_output_dir / "config.json",
+                extra={"preprocess_meta": read_preprocess_meta(raw_path),
+                       **extra})
+    if all_channel_names is None:
+        all_channel_names = read_channel_names(raw_path)
+    if hybrid:
+        return pack_hybrid_corpus(
+            cfg.raw_align_path, cfg.feature_path, list(cfg.subjects),
+            list(cfg.channels_to_use), all_channel_names,
+            features_to_use=list(cfg.features_to_use) or None,
+            classification_mode=cfg.classification_mode,
+            normalization=cfg.normalization,
+        )
+    return pack_corpus(
+        cfg.data_path, list(cfg.subjects), list(cfg.channels_to_use),
+        all_channel_names, cfg.classification_mode, cfg.normalization,
+    )
+
+
 def run_sharded_experiment(
     cfg: ExperimentConfig,
     run_output_dir: Path | str,
@@ -690,39 +730,9 @@ def run_sharded_experiment(
 
     t0 = time.time()
     validate_experiment(cfg, fold_execution="sharded")
-    hybrid = cfg.model.name == "hybrid_cnn_gru"
-    raw_path = cfg.raw_align_path if hybrid else cfg.data_path
     run_output_dir = Path(run_output_dir)
     run_output_dir.mkdir(parents=True, exist_ok=True)
-
-    if cfg.from_pickles:
-        # Fused preprocess+pack straight from the raw pickles: no npy
-        # round-trip (validate_experiment guarantees non-hybrid here).
-        corpus, all_channel_names, meta = pack_corpus_from_pickles(
-            cfg.from_pickles, list(cfg.subjects), list(cfg.channels_to_use),
-            cfg.classification_mode, cfg.normalization,
-        )
-        save_config(cfg, run_output_dir / "config.json",
-                    extra={"preprocess_meta": meta})
-    else:
-        save_config(cfg, run_output_dir / "config.json",
-                    extra={"preprocess_meta": read_preprocess_meta(raw_path)})
-        if all_channel_names is None:
-            all_channel_names = read_channel_names(raw_path)
-
-        if hybrid:
-            corpus = pack_hybrid_corpus(
-                cfg.raw_align_path, cfg.feature_path, list(cfg.subjects),
-                list(cfg.channels_to_use), all_channel_names,
-                features_to_use=list(cfg.features_to_use) or None,
-                classification_mode=cfg.classification_mode,
-                normalization=cfg.normalization,
-            )
-        else:
-            corpus = pack_corpus(
-                cfg.data_path, list(cfg.subjects), list(cfg.channels_to_use),
-                all_channel_names, cfg.classification_mode, cfg.normalization,
-            )
+    corpus = stage_corpus(cfg, run_output_dir, all_channel_names)
     mesh, padded = make_fold_mesh(len(corpus.subjects), devices)
     fb = build_fold_batch(corpus, list(cfg.subjects), cfg.val_fraction,
                           cfg.seed, pad_folds_to=padded)

@@ -34,18 +34,12 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-from multimodalsignal_tpu.config import ExperimentConfig, save_config
-from multimodalsignal_tpu.data.dataset import (
-    pack_corpus,
-    pack_corpus_from_pickles,
-    pack_hybrid_corpus,
-    read_channel_names,
-    read_preprocess_meta,
-)
+from multimodalsignal_tpu.config import ExperimentConfig
 from multimodalsignal_tpu.parallel.fold_sweep import (
     FoldBatch,
     build_fold_batch,
     run_fold_sweep,
+    stage_corpus,
 )
 from multimodalsignal_tpu.train import metrics as M
 
@@ -191,81 +185,55 @@ def run_replicated_experiment(
     validate_experiment(cfg, fold_execution="sharded")
     if seed_chunk is not None and seed_chunk < 1:
         raise ValueError(f"seed_chunk must be >= 1, got {seed_chunk}")
-    hybrid = cfg.model.name == "hybrid_cnn_gru"
-    raw_path = cfg.raw_align_path if hybrid else cfg.data_path
     run_output_dir = Path(run_output_dir)
     run_output_dir.mkdir(parents=True, exist_ok=True)
-
-    if cfg.from_pickles:
-        corpus, all_channel_names, meta = pack_corpus_from_pickles(
-            cfg.from_pickles, list(cfg.subjects), list(cfg.channels_to_use),
-            cfg.classification_mode, cfg.normalization,
-        )
-        save_config(cfg, run_output_dir / "config.json",
-                    extra={"preprocess_meta": meta,
-                           "replicate_seeds": list(seeds)})
-    else:
-        save_config(cfg, run_output_dir / "config.json",
-                    extra={"preprocess_meta": read_preprocess_meta(raw_path),
-                           "replicate_seeds": list(seeds)})
-        if all_channel_names is None:
-            all_channel_names = read_channel_names(raw_path)
-
-        if hybrid:
-            corpus = pack_hybrid_corpus(
-                cfg.raw_align_path, cfg.feature_path, list(cfg.subjects),
-                list(cfg.channels_to_use), all_channel_names,
-                features_to_use=list(cfg.features_to_use) or None,
-                classification_mode=cfg.classification_mode,
-                normalization=cfg.normalization,
-            )
-        else:
-            corpus = pack_corpus(
-                cfg.data_path, list(cfg.subjects), list(cfg.channels_to_use),
-                all_channel_names, cfg.classification_mode, cfg.normalization,
-            )
+    corpus = stage_corpus(cfg, run_output_dir, all_channel_names,
+                          save_extra={"replicate_seeds": list(seeds)})
     chunk = min(seed_chunk or len(seeds), len(seeds))
     staging_s = time.time() - t0
-    while True:  # retry loop: halve the per-launch seed count on OOM
-        chunks = [tuple(seeds[i:i + chunk])
-                  for i in range(0, len(seeds), chunk)]
-        accs, f1s, chunk_walls = [], [], []
-        fb = None
+    accs, f1s, chunk_walls = [], [], []
+    fb = None
+    remaining = list(seeds)
+    launch_idx = 0
+    while remaining:  # OOM retry re-chunks ONLY the not-yet-run seeds
+        chunk_seeds = tuple(remaining[:chunk])
+        total = launch_idx + -(-len(remaining) // chunk)
+        tc = time.time()
         try:
-            for ci, chunk_seeds in enumerate(chunks):
-                tc = time.time()
-                mesh, per_group = make_replicated_mesh(
-                    len(corpus.subjects), len(chunk_seeds), devices
-                )
-                fb = build_fold_batch(corpus, list(cfg.subjects),
-                                      cfg.val_fraction, cfg.seed,
-                                      pad_folds_to=per_group)
-                rfb = replicate_fold_batch(fb, len(chunk_seeds))
-                print("=" * 80)
-                print(f"Seed-replicated sweep [launch {ci + 1}/{len(chunks)}]: "
-                      f"{len(fb.test_subjects)} folds x {len(chunk_seeds)} "
-                      f"seeds = {len(fb.test_subjects) * len(chunk_seeds)} "
-                      f"lanes (padded to {rfb.train_pool.shape[0]}) over "
-                      f"{mesh.devices.size} devices "
-                      f"[{mesh.devices.flat[0].platform}]")
-                if ci == 0:
-                    print(f"  staging: {staging_s:.1f}s")
-                print("=" * 80)
-                result = run_fold_sweep(corpus, rfb, cfg, mesh,
-                                        seeds=chunk_seeds)
-                a, f = _acc_f1_matrices(result, fb, len(chunk_seeds),
-                                        per_group)
-                accs.append(a)
-                f1s.append(f)
-                chunk_walls.append(time.time() - tc)
-            break
+            mesh, per_group = make_replicated_mesh(
+                len(corpus.subjects), len(chunk_seeds), devices
+            )
+            fb = build_fold_batch(corpus, list(cfg.subjects),
+                                  cfg.val_fraction, cfg.seed,
+                                  pad_folds_to=per_group)
+            rfb = replicate_fold_batch(fb, len(chunk_seeds))
+            print("=" * 80)
+            print(f"Seed-replicated sweep [launch {launch_idx + 1}/{total}]: "
+                  f"{len(fb.test_subjects)} folds x {len(chunk_seeds)} "
+                  f"seeds = {len(fb.test_subjects) * len(chunk_seeds)} "
+                  f"lanes (padded to {rfb.train_pool.shape[0]}) over "
+                  f"{mesh.devices.size} devices "
+                  f"[{mesh.devices.flat[0].platform}]")
+            if launch_idx == 0:
+                print(f"  staging: {staging_s:.1f}s")
+            print("=" * 80)
+            result = run_fold_sweep(corpus, rfb, cfg, mesh,
+                                    seeds=chunk_seeds)
+            a, f = _acc_f1_matrices(result, fb, len(chunk_seeds),
+                                    per_group)
+            accs.append(a)
+            f1s.append(f)
+            chunk_walls.append(time.time() - tc)
+            remaining = remaining[len(chunk_seeds):]
+            launch_idx += 1
         except Exception as e:
             if "RESOURCE_EXHAUSTED" not in str(e) or chunk <= 1:
                 raise
             chunk = -(-chunk // 2)
-            print(f"Launch hit RESOURCE_EXHAUSTED; retrying with "
-                  f"seed_chunk={chunk} ({-(-len(seeds) // chunk)} sequential "
-                  f"launches). Consider model.dtype=bfloat16.")
+            print(f"Launch hit RESOURCE_EXHAUSTED; keeping the "
+                  f"{launch_idx} completed launch(es) and retrying the "
+                  f"remaining {len(remaining)} seeds with "
+                  f"seed_chunk={chunk}. Consider model.dtype=bfloat16.")
 
     summary = summarize_from_matrices(
         np.concatenate(accs, axis=0), np.concatenate(f1s, axis=0),

@@ -115,9 +115,11 @@ class PredictionService:
         t0 = time.perf_counter()
         with self._lock:
             probs = self.predictor.predict_windows(x, self.batch_size)
+            # Counter updates stay inside the lock: ThreadingHTTPServer runs
+            # handlers concurrently and += is not atomic.
+            self.requests_served += 1
+            self.windows_served += len(x)
         latency_ms = (time.perf_counter() - t0) * 1e3
-        self.requests_served += 1
-        self.windows_served += len(x)
         return {
             "class_names": list(self.class_names),
             "labels": [self.class_names[int(i)] for i in probs.argmax(axis=-1)],
@@ -136,9 +138,9 @@ class PredictionService:
         x, starts_sec = self.predictor.windows_from_recording(pkl_path)
         with self._lock:
             probs = self.predictor.predict_windows(x, self.batch_size)
+            self.requests_served += 1
+            self.windows_served += len(x)
         latency_ms = (time.perf_counter() - t0) * 1e3
-        self.requests_served += 1
-        self.windows_served += len(x)
         labels = probs.argmax(axis=-1)
         counts = np.bincount(labels, minlength=len(self.class_names))
         return {

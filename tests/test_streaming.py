@@ -122,3 +122,22 @@ def test_input_validation(predictor):
         sc.push(np.full((5, C), np.nan, np.float32))
     with pytest.raises(ValueError, match="calib_sec"):
         StreamingClassifier.for_predictor(predictor, calib_sec=0)
+
+
+def test_buffer_stays_bounded(predictor):
+    """A long-lived feed must not retain its whole history: consumed samples
+    are trimmed, so the internal buffer stays O(window + chunk) while events
+    keep matching the untrimmed stream (same windows, same order)."""
+    sc = StreamingClassifier.for_predictor(predictor, calib_sec=60)
+    rng = np.random.default_rng(5)
+    chunk_n = 5 * FS
+    events = []
+    for _ in range(80):  # 400 s of feed, window 60 s / stride 10 s
+        events += sc.push(rng.standard_normal((chunk_n, len(CHANNELS)))
+                          .astype(np.float32))
+        buf_len = 0 if sc._buf is None else len(sc._buf)
+        assert buf_len <= sc.window_samples + 2 * chunk_n, (
+            "streaming buffer grew beyond the live window span")
+    assert [e.index for e in events] == list(range(len(events)))
+    assert len(events) == (80 * chunk_n - sc.window_samples) \
+        // sc.stride_samples + 1
