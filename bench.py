@@ -24,7 +24,8 @@ BASELINE_CACHE = Path(__file__).parent / ".bench_baseline.json"
 
 
 def bench_jax(batch: int, channels: int, seq: int, steps: int, warmup: int,
-              gru_impl: str = "pallas", dtype: str = "float32") -> float:
+              gru_impl: str = "pallas", dtype: str = "float32",
+              dropout_rng: str = "auto") -> float:
     import jax
     import jax.numpy as jnp
     import optax
@@ -32,9 +33,14 @@ def bench_jax(batch: int, channels: int, seq: int, steps: int, warmup: int,
     from multimodalsignal_tpu.models import CnnGruAttentionModel
     from multimodalsignal_tpu.train.optim import make_optimizer
     from multimodalsignal_tpu.train.trainer import cross_entropy
+    from multimodalsignal_tpu.utils.rng import (
+        as_dropout_key,
+        resolve_dropout_rng_impl,
+    )
 
     if jax.default_backend() != "tpu":
         gru_impl = "scan"  # pallas interpret mode is not a perf path
+    rng_impl = resolve_dropout_rng_impl(dropout_rng)
     model = CnnGruAttentionModel(num_classes=2, gru_impl=gru_impl,
                                  dtype=jnp.dtype(dtype))
     rng = jax.random.PRNGKey(0)
@@ -51,7 +57,9 @@ def bench_jax(batch: int, channels: int, seq: int, steps: int, warmup: int,
         def loss_fn(params):
             (logits, new_bs) = model.apply(
                 {"params": params, "batch_stats": batch_stats},
-                x, train=True, rngs={"dropout": jax.random.fold_in(rng, i)},
+                x, train=True,
+                rngs={"dropout": as_dropout_key(
+                    jax.random.fold_in(rng, i), rng_impl)},
                 mutable=["batch_stats"],
             )
             loss, _ = cross_entropy(logits, y, w)
@@ -170,7 +178,11 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--channels", type=int, default=3)
     p.add_argument("--seq", type=int, default=7680)
-    p.add_argument("--steps", type=int, default=100)
+    # 500 steps per dispatch: one jitted call over the tunneled runtime costs
+    # ~7 ms of host/transport latency, so 100-step dispatches under-report
+    # device throughput by ~4% (483 vs the 500-2000-step plateau of ~503
+    # steps/s, measured round 3). 500 is within 0.6% of the plateau.
+    p.add_argument("--steps", type=int, default=500)
     p.add_argument("--warmup", type=int, default=10)
     p.add_argument("--gru-impl",
                    choices=("scan", "pallas", "pallas_db", "pallas_fused"),
@@ -184,10 +196,15 @@ def main() -> None:
     # round 2; 81.52 +- 5.05 bf16 vs 81.64 +- 4.49 f32).
     p.add_argument("--dtype", choices=("float32", "bfloat16"),
                    default="bfloat16")
+    # "auto" mirrors the trainer default: TPU hardware PRNG for dropout masks
+    # (rbg; -154 us/step vs threefry at this shape), threefry elsewhere.
+    p.add_argument("--dropout-rng", choices=("auto", "threefry", "rbg"),
+                   default="auto")
     args = p.parse_args()
 
     value = bench_jax(args.batch, args.channels, args.seq, args.steps,
-                      args.warmup, args.gru_impl, args.dtype)
+                      args.warmup, args.gru_impl, args.dtype,
+                      args.dropout_rng)
     baseline = get_baseline(args.batch, args.channels, args.seq)
     vs = value / baseline if np.isfinite(baseline) and baseline > 0 else None
     # vs_baseline compares this dtype's JAX run to the float32 torch-CPU

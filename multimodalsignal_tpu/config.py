@@ -129,6 +129,12 @@ class TrainerConfig:
     # (jax.checkpoint): trades ~1.3x FLOPs for a large activation-memory cut —
     # needed when all folds' train steps run concurrently on one chip.
     remat: bool = True
+    # Dropout-mask bit generator: "auto" = TPU hardware PRNG ("rbg") on TPU,
+    # threefry elsewhere. Only the dropout stream changes — seeds, init, and
+    # shuffling stay threefry — so "threefry" reproduces historical runs
+    # bit-for-bit while "rbg" removes the threefry mask-generation cost
+    # (154 us of a 1,994 us flagship train step; utils/rng.py).
+    dropout_rng: str = "auto"  # "auto" | "threefry" | "rbg"
 
 
 @dataclass(frozen=True)
@@ -203,6 +209,11 @@ def validate_experiment(cfg: "ExperimentConfig",
     would crash deep inside the trainer (a raw-only WindowDataset fed to a
     tuple-input model). Fail with guidance instead.
     """
+    if cfg.trainer.dropout_rng not in ("auto", "threefry", "rbg"):
+        raise ValueError(
+            "trainer.dropout_rng must be 'auto', 'threefry', or 'rbg', got "
+            f"{cfg.trainer.dropout_rng!r}"
+        )
     if cfg.from_pickles:
         effective = fold_execution or cfg.fold_execution
         if effective != "sharded":

@@ -61,6 +61,10 @@ from multimodalsignal_tpu.train.optim import (
     plateau_update,
 )
 from multimodalsignal_tpu.train.trainer import TrainState, cross_entropy
+from multimodalsignal_tpu.utils.rng import (
+    as_dropout_key,
+    resolve_dropout_rng_impl,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -223,10 +227,13 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
     es_cfg = tcfg.early_stopping
     batch = tcfg.batch_size
 
+    rng_impl = resolve_dropout_rng_impl(tcfg.dropout_rng)
+
     def apply_train(params, batch_stats, xb, dropout_rng):
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
-            xb, train=True, rngs={"dropout": dropout_rng},
+            xb, train=True,
+            rngs={"dropout": as_dropout_key(dropout_rng, rng_impl)},
             mutable=["batch_stats"],
         )
 

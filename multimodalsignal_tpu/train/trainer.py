@@ -43,6 +43,10 @@ from multimodalsignal_tpu.train.optim import (
     plateau_update,
     set_learning_rate,
 )
+from multimodalsignal_tpu.utils.rng import (
+    as_dropout_key,
+    resolve_dropout_rng_impl,
+)
 from multimodalsignal_tpu.utils.run import TeeLogger
 
 
@@ -82,18 +86,21 @@ _EPOCH_FN_CACHE: dict = {}
 
 
 def make_epoch_fns_cached(model, tx_key: tuple, tx, num_classes: int,
-                          class_weights=None):
+                          class_weights=None, dropout_rng: str = "auto"):
     cw_key = (
         None if class_weights is None
         else (class_weights.shape, tuple(np.asarray(class_weights).tolist()))
     )
-    key = (model, tx_key, num_classes, cw_key)
+    key = (model, tx_key, num_classes, cw_key,
+           resolve_dropout_rng_impl(dropout_rng))
     if key not in _EPOCH_FN_CACHE:
-        _EPOCH_FN_CACHE[key] = make_epoch_fns(model, tx, num_classes, class_weights)
+        _EPOCH_FN_CACHE[key] = make_epoch_fns(
+            model, tx, num_classes, class_weights, dropout_rng)
     return _EPOCH_FN_CACHE[key]
 
 
-def make_epoch_fns(model, tx, num_classes: int, class_weights=None):
+def make_epoch_fns(model, tx, num_classes: int, class_weights=None,
+                   dropout_rng: str = "auto"):
     """Build (train_epoch, eval_dataset) pure functions for one model/optim.
 
     train_epoch(state, x, y, idx, w, rng) -> (state, mean_train_loss)
@@ -102,14 +109,20 @@ def make_epoch_fns(model, tx, num_classes: int, class_weights=None):
       cm [num_classes, num_classes]; probs [steps*B, num_classes] softmax
       (the per-window probabilities the reference collects at evaluation,
       trainer.py:224-231; predictions are their argmax).
+
+    dropout_rng selects the dropout-mask bit generator (utils/rng.py): only
+    the key handed to nn.Dropout changes; the epoch-level split stream that
+    derives it stays threefry, so resume checkpoints are impl-agnostic.
     """
+    rng_impl = resolve_dropout_rng_impl(dropout_rng)
 
     def loss_fn(params, batch_stats, xb, yb, wb, dropout_rng, train):
         out = model.apply(
             {"params": params, "batch_stats": batch_stats},
             xb,
             train=train,
-            rngs={"dropout": dropout_rng} if train else None,
+            rngs={"dropout": as_dropout_key(dropout_rng, rng_impl)}
+            if train else None,
             mutable=["batch_stats"] if train else False,
         )
         logits, new_bs = out if train else (out, {"batch_stats": batch_stats})
@@ -239,7 +252,8 @@ class Trainer:
         self.tx = make_optimizer(cfg.learning_rate, cfg.weight_decay)
         cw = jnp.asarray(class_weights, jnp.float32) if class_weights is not None else None
         self._train_epoch, self._eval = make_epoch_fns_cached(
-            model, (cfg.learning_rate, cfg.weight_decay), self.tx, num_classes, cw
+            model, (cfg.learning_rate, cfg.weight_decay), self.tx, num_classes,
+            cw, dropout_rng=cfg.dropout_rng,
         )
         self.state: TrainState | None = None
         self.best_state: TrainState | None = None

@@ -157,6 +157,48 @@ def test_dispatch_modes_equivalent():
                                   np.asarray(r_epoch.stop_epoch))
 
 
+def test_sweep_dropout_rng_impl_switch():
+    """dropout_rng='rbg' swaps only the mask stream: the sweep still trains
+    (finite, same shapes), differs from the threefry run, and each impl is
+    run-to-run deterministic."""
+    from multimodalsignal_tpu.data.dataset import PackedCorpus
+    from multimodalsignal_tpu.parallel.fold_sweep import run_fold_sweep
+    from jax.sharding import Mesh
+
+    rng_np = np.random.default_rng(1)
+    s, wmax, c, t = 4, 12, 2, 128
+    corpus = PackedCorpus(
+        x=rng_np.standard_normal((s, wmax, c, t)).astype(np.float32),
+        y=rng_np.integers(0, 2, (s, wmax)).astype(np.int32),
+        mask=np.ones((s, wmax), dtype=bool),
+        subjects=tuple(f"S{i+2}" for i in range(s)),
+    )
+    fb = build_fold_batch(corpus, list(corpus.subjects), pad_folds_to=4)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("fold",))
+
+    def run(impl):
+        cfg = ExperimentConfig(
+            subjects=corpus.subjects,
+            channels_to_use=("chest_ECG", "chest_EDA"),
+            model=ModelConfig(cnn_out_channels=4, gru_hidden_size=4,
+                              gru_num_layers=2),
+            trainer=TrainerConfig(epochs=2, batch_size=8,
+                                  dropout_rng=impl,
+                                  early_stopping=EarlyStoppingConfig(patience=1)),
+        )
+        return run_fold_sweep(corpus, fb, cfg, mesh)
+
+    r_tf = run("threefry")
+    r_rbg = run("rbg")
+    assert np.isfinite(np.asarray(r_rbg.history.val_loss)).any()
+    # different mask streams -> different training trajectories
+    assert not np.array_equal(np.asarray(r_tf.history.val_loss),
+                              np.asarray(r_rbg.history.val_loss))
+    # each impl is deterministic
+    np.testing.assert_array_equal(np.asarray(r_rbg.history.val_loss),
+                                  np.asarray(run("rbg").history.val_loss))
+
+
 @pytest.mark.slow
 def test_device_count_invariance():
     """The same FoldBatch swept on a 2-device and a 4-device mesh must give
