@@ -25,7 +25,7 @@ BASELINE_CACHE = Path(__file__).parent / ".bench_baseline.json"
 
 def bench_jax(batch: int, channels: int, seq: int, steps: int, warmup: int,
               gru_impl: str = "pallas", dtype: str = "float32",
-              dropout_rng: str = "auto") -> float:
+              dropout_rng: str = "auto", last_prune: bool = True) -> float:
     import jax
     import jax.numpy as jnp
     import optax
@@ -42,6 +42,7 @@ def bench_jax(batch: int, channels: int, seq: int, steps: int, warmup: int,
         gru_impl = "scan"  # pallas interpret mode is not a perf path
     rng_impl = resolve_dropout_rng_impl(dropout_rng)
     model = CnnGruAttentionModel(num_classes=2, gru_impl=gru_impl,
+                                 gru_last_prune=last_prune,
                                  dtype=jnp.dtype(dtype))
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch, channels, seq), jnp.float32)
@@ -198,13 +199,16 @@ def main() -> None:
                    default="bfloat16")
     # "auto" mirrors the trainer default: TPU hardware PRNG for dropout masks
     # (rbg; -154 us/step vs threefry at this shape), threefry elsewhere.
+    p.add_argument("--no-last-prune", action="store_true",
+                   help="disable the final-layer backward-walk pruning "
+                        "(A/B the pre-round-3 GRU schedule)")
     p.add_argument("--dropout-rng", choices=("auto", "threefry", "rbg"),
                    default="auto")
     args = p.parse_args()
 
     value = bench_jax(args.batch, args.channels, args.seq, args.steps,
                       args.warmup, args.gru_impl, args.dtype,
-                      args.dropout_rng)
+                      args.dropout_rng, last_prune=not args.no_last_prune)
     baseline = get_baseline(args.batch, args.channels, args.seq)
     vs = value / baseline if np.isfinite(baseline) and baseline > 0 else None
     # vs_baseline compares this dtype's JAX run to the float32 torch-CPU

@@ -83,6 +83,10 @@ class ModelConfig:
     reduction_ratio: int = 4  # ChannelAttention squeeze factor (models.py:12)
     # "auto" = fused Pallas kernel on TPU, lax.scan elsewhere.
     gru_impl: str = "auto"  # "auto" | "scan" | "pallas"
+    # Prune the final GRU layer's backward-direction walk to a single cell
+    # step — exact (the head reads only the last timestep, models.py:79).
+    # False reproduces the pre-pruning op schedule bit-for-bit.
+    gru_last_prune: bool = True
     dtype: str = "float32"  # compute dtype: "float32" | "bfloat16" (params f32)
 
 

@@ -88,6 +88,11 @@ class _CnnGruBase(nn.Module):
     reduction_ratio: int = 4
     gru_impl: str = "scan"
     use_channel_attention: bool = True
+    # Prune the final GRU layer's backward walk to one cell step (the head
+    # reads only the last timestep — reference models.py:79 — so the rest of
+    # that walk is dead work; see BiGRU.last_only). False reproduces the
+    # pre-pruning op schedule bit-for-bit.
+    gru_last_prune: bool = True
     # Compute dtype for the conv/GRU/head math; params stay float32 and the
     # logits are cast back to float32 for the loss (bfloat16 feeds the MXU at
     # twice the fp32 rate — SURVEY.md §7 / BASELINE.md perf lever).
@@ -107,10 +112,12 @@ class _CnnGruBase(nn.Module):
             num_layers=self.gru_num_layers,
             dropout=self.dropout if self.gru_num_layers > 1 else 0.0,
             impl=self.gru_impl,
+            last_only=self.gru_last_prune,
             dtype=self.dtype,
             name="gru",
         )(x, train=train)
-        x = x[:, -1, :]  # last timestep (reference models.py:79)
+        if not self.gru_last_prune:
+            x = x[:, -1, :]  # last timestep (reference models.py:79)
         x = nn.Dense(64, dtype=self.dtype, name="head1")(x)
         x = nn.relu(x)
         x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
@@ -160,5 +167,6 @@ def build_model(model_cfg, num_classes: int, fold_parallel: bool = False):
         dropout=model_cfg.dropout,
         reduction_ratio=model_cfg.reduction_ratio,
         gru_impl=gru_impl,
+        gru_last_prune=getattr(model_cfg, "gru_last_prune", True),
         dtype=jnp.dtype(getattr(model_cfg, "dtype", "float32")),
     )

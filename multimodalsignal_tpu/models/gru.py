@@ -31,6 +31,18 @@ def _uniform_init(bound: float):
     return init
 
 
+def gru_cell(xg: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
+             h: jnp.ndarray) -> jnp.ndarray:
+    """One GRU step: precomputed input gates xg [B, 3H] + state h [B, H]."""
+    hg = h @ w_hh.T + b_hh
+    xr, xz, xn = jnp.split(xg, 3, axis=-1)
+    hr, hz, hn = jnp.split(hg, 3, axis=-1)
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1.0 - z) * n + z * h
+
+
 def gru_sequence(x_gates: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
                  h0: jnp.ndarray, reverse: bool = False) -> jnp.ndarray:
     """Run one GRU direction given precomputed input gates.
@@ -42,13 +54,7 @@ def gru_sequence(x_gates: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
     directions, like torch's bidirectional output).
     """
     def step(h, xg):
-        hg = h @ w_hh.T + b_hh
-        xr, xz, xn = jnp.split(xg, 3, axis=-1)
-        hr, hz, hn = jnp.split(hg, 3, axis=-1)
-        r = jax.nn.sigmoid(xr + hr)
-        z = jax.nn.sigmoid(xz + hz)
-        n = jnp.tanh(xn + r * hn)
-        h_new = (1.0 - z) * n + z * h
+        h_new = gru_cell(xg, w_hh, b_hh, h)
         return h_new, h_new
 
     xs = jnp.swapaxes(x_gates, 0, 1)  # [T, B, 3H] scan-major
@@ -57,13 +63,26 @@ def gru_sequence(x_gates: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
 
 
 class BiGRU(nn.Module):
-    """Multi-layer bidirectional GRU; input [B, T, F] -> output [B, T, 2H]."""
+    """Multi-layer bidirectional GRU; input [B, T, F] -> output [B, T, 2H].
+
+    last_only=True returns only the last timestep [B, 2H] — and PRUNES the
+    final layer's backward-direction walk down to a single cell step. The
+    backward output at the last original position is produced by the FIRST
+    step of the reversed walk (h0 -> GRUCell(x[T-1], h0)); every later step
+    of that walk feeds earlier positions, which a last-timestep readout
+    (reference models.py:79) never consumes. Classification models read
+    exactly that slice, so one of the final layer's two T-step recurrences
+    (and its whole adjoint walk under grad) is dead work. Earlier layers
+    still need both full directions: layer l+1 consumes layer l's outputs at
+    every timestep.
+    """
 
     hidden_size: int
     num_layers: int = 1
     dropout: float = 0.0
     impl: str = "scan"  # "scan" | "pallas" | "pallas_db" | "pallas_fused"
     #                     | "auto" (best kernel on TPU, scan elsewhere)
+    last_only: bool = False
     dtype: jnp.dtype = jnp.float32  # compute dtype; params stay float32
 
     @nn.compact
@@ -107,6 +126,23 @@ class BiGRU(nn.Module):
             )
             xg_f = out @ wif.T + bif  # [B, T, 3H] one big matmul per direction
             xg_b = out @ wib.T + bib
+            if self.last_only and layer == self.num_layers - 1:
+                # Final layer under a last-timestep readout: backward
+                # direction = ONE cell step (see class docstring); forward
+                # still needs the full walk for h at T-1.
+                y_b_last = gru_cell(xg_b[:, -1, :], whb, bhb, h0)
+                if impl in ("pallas", "pallas_db", "pallas_fused"):
+                    from multimodalsignal_tpu.ops.gru_pallas import (
+                        gru_sequence_pallas,
+                    )
+
+                    y_f = gru_sequence_pallas(xg_f, whf, bhf, h0,
+                                              reverse=False)
+                else:
+                    y_f = gru_sequence(xg_f, whf, bhf, h0, reverse=False)
+                return jnp.concatenate(
+                    [y_f[:, -1, :].astype(self.dtype),
+                     y_b_last.astype(self.dtype)], axis=-1)  # [B, 2H]
             if impl == "pallas":
                 from multimodalsignal_tpu.ops.gru_pallas import gru_sequence_pallas
 

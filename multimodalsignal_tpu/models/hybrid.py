@@ -30,6 +30,9 @@ class HybridCnnGruModel(nn.Module):
     gru_impl: str = "scan"
     use_channel_attention: bool = True
     feat_hidden: int = 32
+    # Prune the final GRU layer's backward walk to one cell step (only the
+    # last timestep is read below; see BiGRU.last_only).
+    gru_last_prune: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -46,10 +49,12 @@ class HybridCnnGruModel(nn.Module):
             num_layers=self.gru_num_layers,
             dropout=self.dropout if self.gru_num_layers > 1 else 0.0,
             impl=self.gru_impl,
+            last_only=self.gru_last_prune,
             dtype=self.dtype,
             name="gru",
         )(h, train=train)
-        h = h[:, -1, :]  # [B, 2H]
+        if not self.gru_last_prune:
+            h = h[:, -1, :]  # [B, 2H]
 
         f = nn.Dense(self.feat_hidden, dtype=self.dtype, name="feat1")(
             x_feat.astype(self.dtype))

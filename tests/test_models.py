@@ -279,3 +279,63 @@ def test_build_model_fold_parallel_resolves_auto():
 
     expected = "pallas" if jax.default_backend() == "tpu" else "scan"
     assert swept.gru_impl == expected
+
+
+# ---------------------------------------------------------------------------
+# Last-timestep pruning (BiGRU.last_only / gru_last_prune)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("num_layers", [1, 2])
+def test_bigru_last_only_matches_full_walk(num_layers, rng):
+    """last_only prunes the final layer's backward walk to ONE cell step —
+    exact math: the backward output at the last original position is the
+    first step of the reversed recurrence, and a last-timestep readout
+    (reference models.py:79) consumes nothing else from that walk. Tolerance
+    is ULP-tight, not bitwise — the standalone cell step compiles with
+    different fusion/FMA scheduling than the scan body."""
+    hidden, feat, t_len, b = 8, 5, 12, 3
+    x = jnp.asarray(rng.standard_normal((b, t_len, feat)).astype(np.float32))
+    full = BiGRU(hidden_size=hidden, num_layers=num_layers, impl="scan")
+    pruned = BiGRU(hidden_size=hidden, num_layers=num_layers, impl="scan",
+                   last_only=True)
+    variables = full.init(jax.random.PRNGKey(0), x)
+    # Identical parameter tree: pruning changes the op schedule, not params.
+    v2 = pruned.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_all(
+        jax.tree.map(lambda a, b_: bool((a == b_).all()),
+                     variables["params"], v2["params"]))
+    y_full = full.apply(variables, x)[:, -1, :]
+    y_last = pruned.apply(variables, x)
+    assert y_last.shape == (b, 2 * hidden)
+    np.testing.assert_allclose(np.asarray(y_last), np.asarray(y_full),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_model_gru_last_prune_bit_identical(rng):
+    """The flagship model with gru_last_prune (default) matches the unpruned
+    schedule to ULP-level tolerance — forward AND gradients (the pruned
+    walk's outputs carry zero cotangent, so its adjoint contributes exactly
+    nothing; residual deltas are compiler scheduling only)."""
+    x = jnp.asarray(rng.standard_normal((2, 3, 512)).astype(np.float32))
+    m1 = CnnGruAttentionModel(num_classes=3, gru_impl="scan")
+    m0 = CnnGruAttentionModel(num_classes=3, gru_impl="scan",
+                              gru_last_prune=False)
+    assert m1.gru_last_prune  # pruning is the default
+    variables = m1.init(jax.random.PRNGKey(0), x, train=False)
+
+    y1 = m1.apply(variables, x, train=False)
+    y0 = m0.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(m, p):
+        out = m.apply({"params": p, "batch_stats": variables["batch_stats"]},
+                      x, train=False)
+        return (out ** 2).sum()
+
+    g1 = jax.grad(lambda p: loss(m1, p))(variables["params"])
+    g0 = jax.grad(lambda p: loss(m0, p))(variables["params"])
+    rel = jax.tree.map(
+        lambda a, b_: float(jnp.abs(a - b_).max()
+                            / (jnp.abs(a).max() + 1e-12)), g1, g0)
+    assert max(jax.tree.leaves(rel)) < 1e-5
