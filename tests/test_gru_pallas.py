@@ -560,3 +560,20 @@ def test_fold_chunking_grads(rng, monkeypatch):
         # (interpret-mode) kernels, which can reorder f32 contractions.
         np.testing.assert_allclose(np.asarray(got[j]), np.asarray(want[j]),
                                    rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("impl", ["pallas", "pallas_db"])
+def test_bigru_last_only_through_pallas(rng, impl):
+    """BiGRU(last_only=True) with the kernel impls: the final layer's forward
+    walk routes through gru_sequence_pallas and the pruned backward direction
+    is a single plain-jnp cell step — output must match the scan full-walk
+    last timestep (interpret mode on CPU)."""
+    x = jnp.asarray(rng.standard_normal((2, T_BLK // 4, 6)), jnp.float32)
+    scan_full = BiGRU(hidden_size=8, num_layers=2, impl="scan")
+    pruned = BiGRU(hidden_size=8, num_layers=2, impl=impl, last_only=True)
+    variables = scan_full.init(jax.random.PRNGKey(0), x)
+    want = scan_full.apply(variables, x)[:, -1, :]
+    got = pruned.apply(variables, x)
+    assert got.shape == (2, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
