@@ -63,7 +63,8 @@ def gru_sequence(x_gates: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
 
 
 class BiGRU(nn.Module):
-    """Multi-layer bidirectional GRU; input [B, T, F] -> output [B, T, 2H].
+    """Multi-layer bidirectional GRU; input [B, T, F] -> output [B, T, 2H]
+    (or [B, 2H] when last_only=True).
 
     last_only=True returns only the last timestep [B, 2H] — and PRUNES the
     final layer's backward-direction walk down to a single cell step. The
@@ -125,12 +126,14 @@ class BiGRU(nn.Module):
                 params["fwd"], params["bwd"],
             )
             xg_f = out @ wif.T + bif  # [B, T, 3H] one big matmul per direction
-            xg_b = out @ wib.T + bib
             if self.last_only and layer == self.num_layers - 1:
                 # Final layer under a last-timestep readout: backward
                 # direction = ONE cell step (see class docstring); forward
-                # still needs the full walk for h at T-1.
-                y_b_last = gru_cell(xg_b[:, -1, :], whb, bhb, h0)
+                # still needs the full walk for h at T-1. Project only the
+                # last step's input gates — a [B, in] x [in, 3H] matmul, not
+                # the full-T projection (don't rely on XLA sinking the slice).
+                xg_b_last = out[:, -1, :] @ wib.T + bib
+                y_b_last = gru_cell(xg_b_last, whb, bhb, h0)
                 if impl in ("pallas", "pallas_db", "pallas_fused"):
                     from multimodalsignal_tpu.ops.gru_pallas import (
                         gru_sequence_pallas,
@@ -143,6 +146,7 @@ class BiGRU(nn.Module):
                 return jnp.concatenate(
                     [y_f[:, -1, :].astype(self.dtype),
                      y_b_last.astype(self.dtype)], axis=-1)  # [B, 2H]
+            xg_b = out @ wib.T + bib  # full-T backward gates (all other paths)
             if impl == "pallas":
                 from multimodalsignal_tpu.ops.gru_pallas import gru_sequence_pallas
 

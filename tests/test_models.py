@@ -311,7 +311,7 @@ def test_bigru_last_only_matches_full_walk(num_layers, rng):
                                rtol=1e-6, atol=1e-7)
 
 
-def test_model_gru_last_prune_bit_identical(rng):
+def test_model_gru_last_prune_matches_unpruned(rng):
     """The flagship model with gru_last_prune (default) matches the unpruned
     schedule to ULP-level tolerance — forward AND gradients (the pruned
     walk's outputs carry zero cotangent, so its adjoint contributes exactly
