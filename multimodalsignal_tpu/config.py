@@ -179,9 +179,15 @@ class ExperimentConfig:
     # — all folds as one vmapped computation over a `fold` mesh axis.
     fold_execution: str = "sharded"
     # Sharded-sweep dispatch: "per_epoch" jits one all-folds epoch program and
-    # loops epochs host-side (short executions, fast compile); "fused"
-    # compiles the whole sweep (epoch while_loop included) into one program.
+    # loops epochs host-side (short executions, fast compile); "segmented"
+    # scans sweep_segment_epochs epochs per device execution (fewer host
+    # round-trips, bounded execution length — the whole-sweep-in-one-program
+    # "fused" mode was retired after its multi-minute single execution
+    # crashed the tunneled runtime, benchmarks/RESULTS.md).
     sweep_dispatch: str = "per_epoch"
+    # Epochs per device execution in "segmented" dispatch. Bounds each
+    # execution to seconds (runtime-tolerant) while amortizing dispatch.
+    sweep_segment_epochs: int = 10
 
     def __post_init__(self):
         if self.classification_mode not in CLASSIFICATION_MODES:

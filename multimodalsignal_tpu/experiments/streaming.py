@@ -12,10 +12,15 @@ wait for the end: this module classifies windows as they complete.
 Semantics (all documented divergences from the batch path are inherent to
 streaming, not implementation shortcuts):
 
-* Input is already at the model's target rate (e.g. 128 Hz). The batch
-  path FFT-resamples the *whole* recording (scipy parity); a streaming
-  front-end must resample in its acquisition pipeline — whole-signal FFT
-  resampling is not causally computable.
+* Input may be at the model's target rate (e.g. 128 Hz) OR at a native
+  acquisition rate (`input_fs=700` for a raw chest feed): whole-signal FFT
+  resampling (the batch path's scipy-parity method, reference
+  preprocess.py:70-75) is not causally computable, so native-rate feeds go
+  through a causal polyphase front-end
+  (`data.resample.StreamingPolyResampler`) with a fixed Kaiser-sinc filter
+  and a documented ~78 ms group delay — sub-stride, so window k of the
+  stream still corresponds to window k of the batch pipeline (prediction
+  parity pinned in tests/test_streaming.py).
 * Per-subject normalization statistics cannot come from the full recording
   (it hasn't happened yet). The stream opens with a **calibration period**
   (`calib_sec`): those samples fix the per-channel stats (same transform
@@ -57,9 +62,20 @@ class StreamingClassifier:
 
     def __init__(self, predictor, channel_names: list[str],
                  target_fs: int, window_sec: int, stride_sec: int,
-                 calib_sec: float = 120.0, batch_size: int = 64):
+                 calib_sec: float = 120.0, batch_size: int = 64,
+                 input_fs: int | None = None):
         if calib_sec <= 0:
             raise ValueError("calib_sec must be positive")
+        self.input_fs = int(input_fs) if input_fs else int(target_fs)
+        if self.input_fs != target_fs:
+            from multimodalsignal_tpu.data.resample import (
+                StreamingPolyResampler,
+            )
+
+            self._resampler = StreamingPolyResampler(
+                self.input_fs, target_fs, num_channels=len(channel_names))
+        else:
+            self._resampler = None
         self.predictor = predictor
         self.channel_names = list(channel_names)
         self.target_fs = target_fs
@@ -78,24 +94,29 @@ class StreamingClassifier:
 
     @classmethod
     def for_predictor(cls, predictor, calib_sec: float = 120.0,
-                      batch_size: int = 64) -> "StreamingClassifier":
+                      batch_size: int = 64,
+                      input_fs: int | None = None) -> "StreamingClassifier":
         """Wire geometry + channel order from a Predictor/EnsemblePredictor
-        (cfg-backed) or an export.ExportedPredictor (meta-backed)."""
+        (cfg-backed) or an export.ExportedPredictor (meta-backed).
+        input_fs: the live feed's native rate (e.g. 700 for a raw chest
+        stream); omitted = feed already at the model's target rate."""
         meta = getattr(predictor, "meta", None)
         if meta is not None:
             return cls(predictor, list(meta["channels"]), meta["target_fs"],
                        meta["window_sec"], meta["stride_sec"],
-                       calib_sec=calib_sec, batch_size=batch_size)
+                       calib_sec=calib_sec, batch_size=batch_size,
+                       input_fs=input_fs)
         return cls(
             predictor, list(predictor.cfg.channels_to_use),
             predictor.target_fs, predictor.window_sec, predictor.stride_sec,
-            calib_sec=calib_sec, batch_size=batch_size,
+            calib_sec=calib_sec, batch_size=batch_size, input_fs=input_fs,
         )
 
     # -- feed -------------------------------------------------------------------
     def push(self, chunk: np.ndarray) -> list[StreamEvent]:
-        """Feed [n, C] samples; returns the windows completed by this chunk
-        (empty while the calibration span is still filling)."""
+        """Feed [n, C] samples at `input_fs` (native-rate feeds are causally
+        resampled to the model rate first); returns the windows completed by
+        this chunk (empty while the calibration span is still filling)."""
         chunk = np.atleast_2d(np.asarray(chunk, dtype=np.float32))
         if chunk.shape[1] != len(self.channel_names):
             raise ValueError(
@@ -103,6 +124,10 @@ class StreamingClassifier:
                 f"{len(self.channel_names)} ({self.channel_names})")
         if not np.isfinite(chunk).all():
             raise ValueError("chunk contains NaN/Inf")
+        if self._resampler is not None:
+            chunk = self._resampler.push(chunk).astype(np.float32)
+            if len(chunk) == 0:
+                return []
         self._chunks.append(chunk)
         self._n += len(chunk)
 

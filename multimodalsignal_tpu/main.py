@@ -18,6 +18,8 @@ import argparse
 import json
 from pathlib import Path
 
+import jax
+
 from multimodalsignal_tpu.config import (
     ExperimentConfig,
     HierarchicalConfig,
@@ -103,13 +105,25 @@ def make_run_dir(cfg, output_dir: Path | None) -> Path:
 
 
 def main(argv=None) -> None:
+    from multimodalsignal_tpu.parallel import multihost
     from multimodalsignal_tpu.utils.run import enable_compilation_cache
+
+    # Multi-host entry (SURVEY.md §5 distributed backend): when the launcher
+    # sets MMS_COORDINATOR/MMS_NUM_PROCESSES/MMS_PROCESS_ID, join the
+    # processes into one JAX runtime BEFORE any backend touch — the fold
+    # mesh then spans every host. Set MMS_RUN_ID too so all processes agree
+    # on the run directory (only process 0 writes artifacts).
+    if multihost.maybe_initialize_from_env():
+        print(f"[multihost] process {jax.process_index()}/"
+              f"{jax.process_count()} up: {len(jax.local_devices())} local / "
+              f"{len(jax.devices())} global devices", flush=True)
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
     cfg = load_config(args)
     run_dir = make_run_dir(cfg, args.output_dir)
-    print(f"Run directory: {run_dir}")
+    if multihost.is_primary():
+        print(f"Run directory: {run_dir}")
 
     if args.hierarchical:
         execution = args.execution or cfg.base.fold_execution

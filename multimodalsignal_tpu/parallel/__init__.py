@@ -6,6 +6,7 @@ computation vmapped over folds and sharded across devices via
 jax.sharding.Mesh — the structural TPU-native win (SURVEY.md §2
 "Parallelism strategies")."""
 
+from multimodalsignal_tpu.parallel import multihost
 from multimodalsignal_tpu.parallel.fold_sweep import (
     FoldBatch,
     build_fold_batch,
@@ -18,6 +19,7 @@ __all__ = [
     "FoldBatch",
     "build_fold_batch",
     "make_fold_mesh",
+    "multihost",
     "run_fold_sweep",
     "run_sharded_experiment",
 ]

@@ -6,9 +6,13 @@ shuffling/early-stopping/LR-plateau, best-state tracking, and the final test
 evaluation — runs vmapped over a `fold` axis and sharded across devices with
 jax.sharding.Mesh + NamedSharding, in one of two dispatch modes:
 "per_epoch" (default; one jitted all-folds program per epoch, host loop with
-early exit) or "fused" (the entire sweep as a single XLA program). Both are
-bit-identical. Device count does not need to divide the fold count: folds are
-padded with inert replicas whose results are dropped.
+early exit) or "segmented" (a lax.scan of cfg.sweep_segment_epochs epochs
+per device execution — fewer host round-trips, bounded execution length).
+Both are bit-identical. The whole-sweep-as-one-program "fused" mode was
+retired: its multi-minute single execution crashed the tunneled runtime
+(benchmarks/RESULTS.md 'Dispatch modes'). Device count does not need to
+divide the fold count: folds are padded with inert replicas whose results
+are dropped.
 
 Key design points (SURVEY.md §7 "Hard parts"):
   * Ragged folds: subjects have different window counts, so per-fold index
@@ -52,6 +56,7 @@ from multimodalsignal_tpu.data.dataset import (
 from multimodalsignal_tpu.experiments.loso import FoldResult, write_cv_summary
 from multimodalsignal_tpu.experiments.splits import loso_folds
 from multimodalsignal_tpu.models import build_model
+from multimodalsignal_tpu.parallel import multihost
 from multimodalsignal_tpu.train import metrics as M
 from multimodalsignal_tpu.train.optim import (
     early_stopping_init,
@@ -150,7 +155,12 @@ def build_fold_batch(
 
 def make_fold_mesh(num_folds: int, devices=None) -> tuple[Mesh, int]:
     """1-D `fold` mesh over available devices; returns (mesh, padded fold
-    count divisible by the device count)."""
+    count divisible by the device count).
+
+    After `multihost.initialize` (or `jax.distributed.initialize`),
+    `jax.devices()` is the GLOBAL list across all processes, so the same
+    call builds a mesh spanning every host in the job — the sweep program
+    is unchanged; only host-side array movement differs (multihost.py)."""
     devices = np.asarray(devices if devices is not None else jax.devices())
     d = len(devices)
     padded = -(-num_folds // d) * d
@@ -373,59 +383,31 @@ def _make_fold_program(model, tx, cfg: ExperimentConfig, steps_tr: int,
         return (test_loss, test_cm, es.best_epoch,
                 final_state.params, final_state.batch_stats, test_probs)
 
-    def fold_program(x, y, fb_train_pool, fb_n_train, fb_val_pool, fb_n_val,
-                     fb_test_pool, fb_n_test, fb_cw, init_state: TrainState,
-                     rng):
-        """Fused mode: the full train-to-test lifecycle of ONE fold as a
-        single program. Epoch loop as while_loop, not scan: the sweep exits
-        as soon as EVERY fold has early-stopped (under vmap the condition
-        batches to an any(), so lockstep ends at the slowest fold's stop
-        instead of always paying the full fixed horizon).
-        """
-        epochs = tcfg.epochs
-        zeros_e = jnp.zeros((epochs,), jnp.float32)
-        logs0 = (zeros_e, zeros_e, zeros_e, zeros_e, zeros_e,
-                 jnp.zeros((epochs,), jnp.bool_))
+    def make_segment(seg_len: int):
+        """Segmented dispatch: scan seg_len epochs of ONE fold in a single
+        device execution. Bit-identical to seg_len calls of epoch_program
+        (same body, sequential semantics); stopped folds coast inside the
+        segment exactly as they do across per-epoch dispatches. This
+        replaced the retired whole-sweep "fused" while_loop, whose single
+        multi-minute execution crashed the tunneled runtime
+        (benchmarks/RESULTS.md 'Dispatch modes')."""
 
-        def loop_cond(loop_carry):
-            epoch, (_, _, _, _, _, stopped), _ = loop_carry
-            return jnp.logical_and(epoch < epochs, jnp.logical_not(stopped))
+        def segment_program(x, y, fb_train_pool, fb_n_train, fb_val_pool,
+                            fb_n_val, fb_cw, carry, epoch0):
+            def body(c, e):
+                return epoch_program(x, y, fb_train_pool, fb_n_train,
+                                     fb_val_pool, fb_n_val, fb_cw, c, e)
 
-        def loop_body(loop_carry):
-            epoch, carry, logs = loop_carry
-            carry, log = epoch_program(
-                x, y, fb_train_pool, fb_n_train, fb_val_pool, fb_n_val,
-                fb_cw, carry, epoch,
-            )
-            logs = jax.tree_util.tree_map(
-                lambda arr, v: arr.at[epoch].set(v), logs, log
-            )
-            return epoch + 1, carry, logs
+            return jax.lax.scan(body, carry,
+                                epoch0 + jnp.arange(seg_len, dtype=jnp.int32))
 
-        carry0 = init_carry(init_state, rng)
-        _, carry, logs = jax.lax.while_loop(
-            loop_cond, loop_body, (jnp.asarray(0, jnp.int32), carry0, logs0)
-        )
-        train_loss, val_loss, val_acc, val_f1, lr, ran = logs
-        test_loss, test_cm, best_epoch, fparams, fbs, test_probs = finalize_program(
-            x, y, fb_test_pool, fb_n_test, fb_cw, carry
-        )
-        return SweepResult(
-            history=SweepHistory(train_loss, val_loss, val_acc, val_f1, lr),
-            best_epoch=best_epoch,
-            stop_epoch=ran.astype(jnp.int32).sum(),
-            test_loss=test_loss,
-            test_cm=test_cm,
-            final_params=fparams,
-            final_batch_stats=fbs,
-            test_probs=test_probs,
-        )
+        return segment_program
 
     return {
         "epoch": epoch_program,
         "init_carry": init_carry,
         "finalize": finalize_program,
-        "fold_program": fold_program,
+        "make_segment": make_segment,
     }
 
 
@@ -489,8 +471,9 @@ def run_fold_sweep(
     stacked SweepResult (fold axis first, padded folds included).
 
     dispatch: "per_epoch" (default) jits one all-folds epoch program and
-    loops epochs host-side; "fused" compiles the entire sweep (epoch
-    while_loop included) into a single XLA program.
+    loops epochs host-side; "segmented" scans cfg.sweep_segment_epochs
+    epochs per device execution (bit-identical results, fewer host
+    round-trips; early exit at segment granularity).
 
     Fault tolerance (per_epoch only; SURVEY.md §5 checkpoint/resume): with
     `run_dir` set and cfg.trainer.checkpoint_every > 0, the complete sweep
@@ -560,18 +543,21 @@ def run_fold_sweep(
     fold_sharding = NamedSharding(mesh, P("fold"))
     repl = NamedSharding(mesh, P())
 
+    # multihost.put_global == jax.device_put single-process; in a
+    # multi-process job it scatters each process's identical host copy onto
+    # the global sharding (corpus replicated, fold state fold-sharded).
     def put_folded(tree):
-        return jax.device_put(tree, fold_sharding)
+        return multihost.put_global(tree, fold_sharding)
 
-    x_dev = jax.device_put(x, repl)
-    y_dev = jax.device_put(y, repl)
+    x_dev = multihost.put_global(x, repl)
+    y_dev = multihost.put_global(y, repl)
     tr_pool = put_folded(jnp.asarray(fb.train_pool))
     n_tr = put_folded(jnp.asarray(fb.n_train))
     va_pool = put_folded(jnp.asarray(fb.val_pool))
     n_va = put_folded(jnp.asarray(fb.n_val))
     te_pool = put_folded(jnp.asarray(fb.test_pool))
     n_te = put_folded(jnp.asarray(fb.n_test))
-    init_states = jax.device_put(init_states, fold_sharding)
+    init_states = put_folded(init_states)
     run_rngs = put_folded(run_rngs)
 
     # Per-fold class weights (reference's intended-but-dead branch,
@@ -592,22 +578,22 @@ def run_fold_sweep(
         cw_np = np.ones((num_folds, cfg.num_classes), np.float32)
     fb_cw = put_folded(jnp.asarray(cw_np))
 
-    if dispatch == "fused":
-        sweep = jax.jit(
-            jax.vmap(programs["fold_program"], in_axes=(None, None) + (0,) * 9)
+    if dispatch not in ("per_epoch", "segmented"):
+        raise ValueError(
+            f"unknown sweep dispatch {dispatch!r}: expected 'per_epoch' or "
+            "'segmented' (the whole-sweep 'fused' mode was retired — its "
+            "single multi-minute execution crashed the tunneled runtime; "
+            "benchmarks/RESULTS.md 'Dispatch modes')"
         )
-        with mesh:
-            result = sweep(x_dev, y_dev, tr_pool, n_tr, va_pool, n_va,
-                           te_pool, n_te, fb_cw, init_states, run_rngs)
-        return jax.tree_util.tree_map(np.asarray, result)
 
     # "per_epoch" (default): one short XLA execution per epoch, all folds in
-    # lockstep. Same math as fused mode, but: (a) compiles the epoch program
-    # once instead of a 100-epoch while_loop (minutes less compile time on
-    # remote-compiled TPU runtimes); (b) keeps device executions short, which
-    # tunneled single-chip runtimes tolerate far better than one multi-minute
-    # program; (c) gives the host per-epoch progress + early exit when every
-    # fold has stopped.
+    # lockstep — compiles one epoch program (minutes less compile time on
+    # remote-compiled TPU runtimes), keeps device executions short, and
+    # gives the host per-epoch progress + exit as soon as every fold has
+    # stopped. "segmented": scans cfg.sweep_segment_epochs epochs per
+    # execution — same math (bit-identity pinned by
+    # tests/test_fold_sweep.py::test_dispatch_modes_equivalent), fewer host
+    # round-trips, early exit at segment granularity.
     epoch_fn = jax.jit(
         jax.vmap(programs["epoch"],
                  in_axes=(None, None, 0, 0, 0, 0, 0, 0, None)),
@@ -615,53 +601,121 @@ def run_fold_sweep(
     finalize_fn = jax.jit(
         jax.vmap(programs["finalize"], in_axes=(None, None, 0, 0, 0, 0))
     )
-    carry = jax.vmap(programs["init_carry"])(init_states, run_rngs)
-    carry = jax.device_put(carry, fold_sharding)
+    carry = jax.jit(jax.vmap(programs["init_carry"]),
+                    out_shardings=fold_sharding)(init_states, run_rngs)
 
     epochs = cfg.trainer.epochs
     logs: list = []
     start_epoch = 0
     checkpoint_every = cfg.trainer.checkpoint_every if run_dir else 0
     if run_dir is not None and cfg.trainer.resume:
-        restored = _load_sweep_resume(Path(run_dir), carry)
+        # Template must be host-local (restore_state reads into numpy);
+        # to_host gathers the (init-fresh, tiny) carry in multi-process runs.
+        restored = _load_sweep_resume(Path(run_dir),
+                                      multihost.to_host(carry, mesh))
         if restored is not None:
             carry, logs, start_epoch = restored
-            carry = jax.device_put(carry, fold_sharding)
-            print(f"  resumed sweep from epoch {start_epoch}", flush=True)
+            carry = multihost.put_global(carry, fold_sharding)
+            if multihost.is_primary():
+                print(f"  resumed sweep from epoch {start_epoch}", flush=True)
+
+    if dispatch == "segmented" and (checkpoint_every > 0
+                                    or abort_after_epoch is not None):
+        raise ValueError(
+            "checkpoint/resume and the preemption drill are per_epoch "
+            "features (they need an epoch-granular host boundary); "
+            "segmented dispatch does not support them"
+        )
 
     epochs_ran = start_epoch
     t_train = time.time()
     with mesh:
-        for epoch in range(start_epoch, epochs):
-            carry, log = epoch_fn(x_dev, y_dev, tr_pool, n_tr, va_pool, n_va,
-                                  fb_cw, carry, jnp.asarray(epoch, jnp.int32))
-            logs.append(jax.tree_util.tree_map(np.asarray, log))
-            epochs_ran = epoch + 1
-            stopped = np.asarray(carry[5])
-            if epoch == start_epoch or (epoch + 1) % 10 == 0 or stopped.all():
-                val_loss = np.asarray(log[1])
-                active = int((~stopped).sum())
-                print(f"  epoch {epoch + 1}/{epochs} | "
-                      f"mean val loss {float(val_loss.mean()):.4f} | "
-                      f"{active} folds active | "
-                      f"{time.time() - t_train:.1f}s", flush=True)
-            if checkpoint_every > 0 and (epoch + 1) % checkpoint_every == 0:
-                _save_sweep_resume(Path(run_dir), carry, logs, epoch + 1)
-            if abort_after_epoch is not None and epoch + 1 >= abort_after_epoch:
-                raise SweepAborted(f"aborted after epoch {epoch + 1} (drill)")
-            if stopped.all():
-                print(f"  all folds early-stopped at epoch {epoch + 1}")
-                break
+        if dispatch == "segmented":
+            seg = max(int(cfg.sweep_segment_epochs), 1)
+            seg_fns: dict = {}
+
+            def seg_fn(seg_len: int):
+                # One compiled program per segment length: the full-length
+                # program plus at most one remainder-length program.
+                fn = seg_fns.get(seg_len)
+                if fn is None:
+                    fn = jax.jit(
+                        jax.vmap(programs["make_segment"](seg_len),
+                                 in_axes=(None, None, 0, 0, 0, 0, 0, 0,
+                                          None)),
+                        donate_argnums=(7,),  # carry reused across segments
+                    )
+                    seg_fns[seg_len] = fn
+                return fn
+
+            epoch = start_epoch
+            while epoch < epochs:
+                seg_len = min(seg, epochs - epoch)
+                carry, seg_logs = seg_fn(seg_len)(
+                    x_dev, y_dev, tr_pool, n_tr, va_pool, n_va, fb_cw,
+                    carry, jnp.asarray(epoch, jnp.int32))
+                # seg_logs leaves are [F, seg_len] (scan axis under vmap).
+                host_logs = multihost.to_host(seg_logs, mesh)
+                for e in range(seg_len):
+                    logs.append(tuple(leaf[:, e] for leaf in host_logs))
+                epoch += seg_len
+                stopped = multihost.to_host(carry[5], mesh)
+                if multihost.is_primary():
+                    val_loss = np.asarray(logs[-1][1])
+                    print(f"  epoch {epoch}/{epochs} (segment of {seg_len})"
+                          f" | mean val loss {float(val_loss.mean()):.4f} | "
+                          f"{int((~stopped).sum())} folds active | "
+                          f"{time.time() - t_train:.1f}s", flush=True)
+                if stopped.all():
+                    break
+            # Trim trailing all-coasting epochs (every fold stopped before
+            # them) so logs end exactly where per_epoch dispatch — which
+            # exits the moment stopped.all() — would have ended.
+            while logs and not np.asarray(logs[-1][5]).any():
+                logs.pop()
+            epochs_ran = len(logs)
+        else:
+            for epoch in range(start_epoch, epochs):
+                carry, log = epoch_fn(x_dev, y_dev, tr_pool, n_tr, va_pool,
+                                      n_va, fb_cw, carry,
+                                      jnp.asarray(epoch, jnp.int32))
+                # The per-epoch log + stop-flag gather is the sweep's only
+                # recurring cross-host traffic: a few KB over DCN per epoch.
+                logs.append(multihost.to_host(log, mesh))
+                epochs_ran = epoch + 1
+                stopped = multihost.to_host(carry[5], mesh)
+                if (epoch == start_epoch or (epoch + 1) % 10 == 0
+                        or stopped.all()) and multihost.is_primary():
+                    val_loss = np.asarray(logs[-1][1])
+                    active = int((~stopped).sum())
+                    print(f"  epoch {epoch + 1}/{epochs} | "
+                          f"mean val loss {float(val_loss.mean()):.4f} | "
+                          f"{active} folds active | "
+                          f"{time.time() - t_train:.1f}s", flush=True)
+                if checkpoint_every > 0 and (epoch + 1) % checkpoint_every == 0:
+                    host_carry = multihost.to_host(carry, mesh)
+                    if multihost.is_primary():
+                        _save_sweep_resume(Path(run_dir), host_carry, logs,
+                                           epoch + 1)
+                if abort_after_epoch is not None and epoch + 1 >= abort_after_epoch:
+                    raise SweepAborted(
+                        f"aborted after epoch {epoch + 1} (drill)")
+                if stopped.all():
+                    if multihost.is_primary():
+                        print(f"  all folds early-stopped at epoch {epoch + 1}")
+                    break
         t_eval = time.time()
-        test_loss, test_cm, best_epoch, fparams, fbs, test_probs = finalize_fn(
-            x_dev, y_dev, te_pool, n_te, fb_cw, carry
+        test_loss, test_cm, best_epoch, fparams, fbs, test_probs = (
+            multihost.to_host(
+                finalize_fn(x_dev, y_dev, te_pool, n_te, fb_cw, carry), mesh
+            )
         )
-        jax.block_until_ready(test_cm)
         # First run pays the composed test-eval program compile (~2 min over
         # the remote compile service); make that visible instead of letting
         # it hide between the epoch loop and the artifact phase.
-        print(f"  test eval (compile + run): {time.time() - t_eval:.1f}s",
-              flush=True)
+        if multihost.is_primary():
+            print(f"  test eval (compile + run): {time.time() - t_eval:.1f}s",
+                  flush=True)
 
     # Stack per-epoch logs to [F, epochs] (zero-padded past the exit).
     stacked = [np.stack(column, axis=1) for column in zip(*logs)]
@@ -698,15 +752,17 @@ def stage_corpus(cfg: ExperimentConfig, run_output_dir: Path,
             cfg.from_pickles, list(cfg.subjects), list(cfg.channels_to_use),
             cfg.classification_mode, cfg.normalization,
         )
-        save_config(cfg, run_output_dir / "config.json",
-                    extra={"preprocess_meta": meta, **extra})
+        if multihost.is_primary():
+            save_config(cfg, run_output_dir / "config.json",
+                        extra={"preprocess_meta": meta, **extra})
         return corpus
 
     hybrid = cfg.model.name == "hybrid_cnn_gru"
     raw_path = cfg.raw_align_path if hybrid else cfg.data_path
-    save_config(cfg, run_output_dir / "config.json",
-                extra={"preprocess_meta": read_preprocess_meta(raw_path),
-                       **extra})
+    if multihost.is_primary():
+        save_config(cfg, run_output_dir / "config.json",
+                    extra={"preprocess_meta": read_preprocess_meta(raw_path),
+                           **extra})
     if all_channel_names is None:
         all_channel_names = read_channel_names(raw_path)
     if hybrid:
@@ -743,12 +799,14 @@ def run_sharded_experiment(
     mesh, padded = make_fold_mesh(len(corpus.subjects), devices)
     fb = build_fold_batch(corpus, list(cfg.subjects), cfg.val_fraction,
                           cfg.seed, pad_folds_to=padded)
-    print("=" * 80)
-    print(f"Sharded LOSO sweep: {len(fb.test_subjects)} folds "
-          f"(padded to {padded}) over {mesh.devices.size} devices "
-          f"[{mesh.devices.flat[0].platform}]")
-    print(f"  staging (pack + fold batch): {time.time() - t0:.1f}s")
-    print("=" * 80)
+    if multihost.is_primary():
+        print("=" * 80)
+        print(f"Sharded LOSO sweep: {len(fb.test_subjects)} folds "
+              f"(padded to {padded}) over {mesh.devices.size} devices "
+              f"[{mesh.devices.flat[0].platform}] "
+              f"across {jax.process_count()} process(es)")
+        print(f"  staging (pack + fold batch): {time.time() - t0:.1f}s")
+        print("=" * 80)
 
     # Optional device trace of the whole sweep (the reference's only
     # observability was wall-clock prints — SURVEY.md §5 tracing).
@@ -797,20 +855,31 @@ def run_sharded_experiment(
             np.save(fold_dir / "test_probs.npy",
                     host["probs"][i][: int(fb.n_test[i])])
 
-    from concurrent.futures import ThreadPoolExecutor
+    # Every process holds the full gathered results (to_host all-gathers),
+    # but only the primary writes run-dir artifacts; all processes return
+    # the same (results, summary).
+    if multihost.is_primary():
+        from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=8) as ex:
-        list(ex.map(write_fold_artifacts, enumerate(fb.test_subjects)))
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(write_fold_artifacts, enumerate(fb.test_subjects)))
 
-    summary = write_cv_summary(run_output_dir / "cv_summary.txt", cfg, results)
+        summary = write_cv_summary(run_output_dir / "cv_summary.txt", cfg,
+                                   results)
+    else:
+        from multimodalsignal_tpu.experiments.loso import summarize_results
+
+        summary = summarize_results(results)
     summary["sweep_wall_s"] = time.time() - t0
-    print(f"  finalize (bulk transfer + artifacts): "
-          f"{time.time() - t_finalize:.1f}s")
-    print(f"\nSweep wall-clock: {summary['sweep_wall_s']:.2f}s "
-          f"({len(results)} folds in parallel)")
-    print(f"Mean accuracy: {summary['mean_accuracy']:.4f} "
-          f"± {summary['std_accuracy']:.4f}")
-    print(f"Mean weighted F1: {summary['mean_f1']:.4f} ± {summary['std_f1']:.4f}")
+    if multihost.is_primary():
+        print(f"  finalize (bulk transfer + artifacts): "
+              f"{time.time() - t_finalize:.1f}s")
+        print(f"\nSweep wall-clock: {summary['sweep_wall_s']:.2f}s "
+              f"({len(results)} folds in parallel)")
+        print(f"Mean accuracy: {summary['mean_accuracy']:.4f} "
+              f"± {summary['std_accuracy']:.4f}")
+        print(f"Mean weighted F1: {summary['mean_f1']:.4f} "
+              f"± {summary['std_f1']:.4f}")
     return results, summary
 
 

@@ -6,21 +6,32 @@ required)."""
 
 import os
 
-# Force CPU regardless of ambient JAX_PLATFORMS (the dev box exposes a real
-# TPU whose default matmul precision would break tight parity tolerances).
-# The env var alone is not enough: sitecustomize imports jax at interpreter
-# start, so jax's config already snapshotted the ambient value — override the
-# live config too (backends are not initialized yet at conftest time).
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# MMS_TEST_TPU=1 switches the harness to the on-TPU kernel regression tier
+# (tests/test_tpu_kernels.py, `pytest -m tpu`): JAX keeps the real TPU
+# backend so Mosaic-compiled kernels — not the CPU interpreter — are what
+# parity is asserted against. Everything else below (CPU forcing, virtual
+# 8-device mesh) is skipped in that mode, and collection deselects the
+# respective other tier (pytest_collection_modifyitems).
+TPU_TIER = os.environ.get("MMS_TEST_TPU") == "1"
+
+if not TPU_TIER:
+    # Force CPU regardless of ambient JAX_PLATFORMS (the dev box exposes a
+    # real TPU whose default matmul precision would break tight parity
+    # tolerances). The env var alone is not enough: sitecustomize imports
+    # jax at interpreter start, so jax's config already snapshotted the
+    # ambient value — override the live config too (backends are not
+    # initialized yet at conftest time).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_TIER:
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA compilation cache for the test suite. The quick tier is
 # compile-bound (a broad tail of 5-18 s tests, each paying a fresh CPU
@@ -63,6 +74,26 @@ import numpy as np
 import pytest
 
 from multimodalsignal_tpu.data.synthetic import write_synthetic_wesad
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two disjoint tiers: the default CPU tiers (quick/slow) and the on-TPU
+    kernel tier. MMS_TEST_TPU=1 runs ONLY tpu-marked tests (the backend is
+    the real chip — CPU-calibrated parity tolerances don't apply there);
+    without it, tpu-marked tests skip (Mosaic needs the hardware)."""
+    if TPU_TIER:
+        skip = pytest.mark.skip(
+            reason="MMS_TEST_TPU=1 runs only the tpu-marked kernel tier")
+        for item in items:
+            if "tpu" not in item.keywords:
+                item.add_marker(skip)
+    else:
+        skip = pytest.mark.skip(
+            reason="on-TPU tier: run MMS_TEST_TPU=1 pytest -m tpu on a TPU "
+                   "host (PYTHONPATH must keep /root/.axon_site)")
+        for item in items:
+            if "tpu" in item.keywords:
+                item.add_marker(skip)
 
 SUBJECTS_SMALL = ["S2", "S3", "S4", "S5"]
 

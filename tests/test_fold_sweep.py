@@ -124,8 +124,11 @@ def test_sharded_experiment_end_to_end(preprocessed, tmp_path):  # noqa: F811
 
 @pytest.mark.slow
 def test_dispatch_modes_equivalent():
-    """'fused' (single XLA program) and 'per_epoch' (host epoch loop) must
-    produce bit-identical per-fold results."""
+    """'segmented' (lax.scan of N epochs per device execution) and
+    'per_epoch' (host epoch loop) must produce bit-identical per-fold
+    results AND histories. epochs=5 with segment=2 exercises the
+    remainder-length segment program; patience=1 makes folds stop before
+    the horizon so the trailing-coast trim is exercised too."""
     from multimodalsignal_tpu.data.dataset import PackedCorpus
     from multimodalsignal_tpu.parallel.fold_sweep import run_fold_sweep
     from jax.sharding import Mesh
@@ -144,17 +147,28 @@ def test_dispatch_modes_equivalent():
         subjects=corpus.subjects,
         channels_to_use=("chest_ECG", "chest_EDA"),
         model=ModelConfig(cnn_out_channels=4, gru_hidden_size=4, gru_num_layers=1),
-        trainer=TrainerConfig(epochs=2, batch_size=8,
+        trainer=TrainerConfig(epochs=5, batch_size=8,
                               early_stopping=EarlyStoppingConfig(patience=1)),
+        sweep_segment_epochs=2,
     )
-    r_fused = run_fold_sweep(corpus, fb, cfg, mesh, dispatch="fused")
+    r_seg = run_fold_sweep(corpus, fb, cfg, mesh, dispatch="segmented")
     r_epoch = run_fold_sweep(corpus, fb, cfg, mesh, dispatch="per_epoch")
-    np.testing.assert_array_equal(np.asarray(r_fused.test_cm),
+    np.testing.assert_array_equal(np.asarray(r_seg.test_cm),
                                   np.asarray(r_epoch.test_cm))
-    np.testing.assert_array_equal(np.asarray(r_fused.history.val_loss),
+    np.testing.assert_array_equal(np.asarray(r_seg.test_loss),
+                                  np.asarray(r_epoch.test_loss))
+    np.testing.assert_array_equal(np.asarray(r_seg.history.val_loss),
                                   np.asarray(r_epoch.history.val_loss))
-    np.testing.assert_array_equal(np.asarray(r_fused.stop_epoch),
+    np.testing.assert_array_equal(np.asarray(r_seg.history.train_loss),
+                                  np.asarray(r_epoch.history.train_loss))
+    np.testing.assert_array_equal(np.asarray(r_seg.stop_epoch),
                                   np.asarray(r_epoch.stop_epoch))
+    np.testing.assert_array_equal(np.asarray(r_seg.best_epoch),
+                                  np.asarray(r_epoch.best_epoch))
+
+    # The retired whole-sweep mode must fail loudly, not crash the runtime.
+    with pytest.raises(ValueError, match="fused"):
+        run_fold_sweep(corpus, fb, cfg, mesh, dispatch="fused")
 
 
 def test_sweep_dropout_rng_impl_switch():

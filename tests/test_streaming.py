@@ -141,3 +141,130 @@ def test_buffer_stays_bounded(predictor):
     assert [e.index for e in events] == list(range(len(events)))
     assert len(events) == (80 * chunk_n - sc.window_samples) \
         // sc.stride_samples + 1
+
+
+# -- causal native-rate front-end (StreamingPolyResampler) --------------------
+
+FS_NATIVE = 700
+
+
+def _feed_native(total_sec=400, seed=0):
+    """Bandlimited-ish [n, C] feed at 700 Hz (positive EDA for log1p)."""
+    rng = np.random.default_rng(seed)
+    n = total_sec * FS_NATIVE
+    t = np.arange(n) / FS_NATIVE
+    ecg = (np.sin(2 * np.pi * 1.1 * t) + 0.4 * np.sin(2 * np.pi * 8.0 * t)
+           + 0.05 * rng.standard_normal(n))
+    eda = 2.0 + 0.5 * np.sin(2 * np.pi * 0.05 * t) \
+        + 0.02 * rng.standard_normal(n)
+    return np.stack([ecg, eda], axis=1).astype(np.float32)
+
+
+def test_poly_resampler_matches_upfirdn_and_chunking_invariant():
+    """The causal polyphase stream equals scipy.signal.upfirdn with the
+    same filter (causal prefix) to summation-order round-off, and is
+    BIT-identical across arbitrary chunkings of the same feed."""
+    from scipy.signal import upfirdn
+
+    from multimodalsignal_tpu.data.resample import StreamingPolyResampler
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((FS_NATIVE * 20, 2))
+
+    r = StreamingPolyResampler(FS_NATIVE, FS, num_channels=2)
+    want_full = np.stack(
+        [upfirdn(r._h, x[:, c], up=r.up, down=r.down) for c in range(2)],
+        axis=1)
+
+    outs = []
+    for chunks in ([len(x)], [137] * (len(x) // 137) + [len(x) % 137]):
+        rr = StreamingPolyResampler(FS_NATIVE, FS, num_channels=2)
+        parts, i = [], 0
+        for n in chunks:
+            parts.append(rr.push(x[i : i + n]))
+            i += n
+        got = np.concatenate(parts)
+        # Causal emission: every output whose support is complete, no more.
+        assert len(got) == int(np.ceil(len(x) * r.up / r.down))
+        # vs scipy: same filter, same math, different summation order.
+        np.testing.assert_allclose(got, want_full[: len(got)],
+                                   rtol=0.0, atol=1e-12)
+        outs.append(got)
+    # Chunking invariance is bit-exact (same per-output einsum either way).
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_poly_resampler_tracks_fft_resample_after_delay():
+    """Mid-signal, the causal stream advanced by its documented group delay
+    matches the batch FFT resampler to filter-design tolerance."""
+    from multimodalsignal_tpu.data.resample import (
+        StreamingPolyResampler,
+        fourier_resample_np,
+    )
+
+    feed = _feed_native(total_sec=60, seed=12).astype(np.float64)
+    r = StreamingPolyResampler(FS_NATIVE, FS, num_channels=2)
+    stream = r.push(feed)
+    batch = fourier_resample_np(feed, int(len(feed) * FS / FS_NATIVE), axis=0)
+
+    # delay is fractional in output samples (9.97 at 700->128); compare on
+    # the integer-aligned part: stream[k] ~= signal(k/FS - delay_sec).
+    # 700->128 with half_len=1750: delay_out = 1750*128/(32*700) = 10.0
+    # exactly. Guard that before relying on integer alignment.
+    d = r.delay_out_samples
+    assert abs(d - round(d)) < 1e-9
+    d = int(round(d))
+    mid = slice(5 * FS, 50 * FS)  # away from both edge transients
+    # 0.02 tolerance: the feed's white-noise floor has energy in the
+    # transition band near the 64 Hz output Nyquist, where a brickwall FFT
+    # truncation and a Kaiser(5.0) FIR legitimately differ; the tonal
+    # (in-band) content agrees ~1e-4.
+    np.testing.assert_allclose(stream[d:][mid], batch[mid], atol=0.02)
+
+
+def test_stream_native_rate_matches_batch_predictions(predictor):
+    """End-to-end VERDICT r3 item #4: a live 700 Hz feed pushed through
+    StreamingClassifier(input_fs=700) must classify window-for-window like
+    the batch pipeline (FFT resample -> window -> same frozen stats), to
+    tolerance, after the resampler's sub-stride group delay."""
+    feed = _feed_native(total_sec=260, seed=13)
+    calib_sec = 60
+
+    sc = StreamingClassifier.for_predictor(predictor, calib_sec=calib_sec,
+                                           input_fs=FS_NATIVE)
+    events = []
+    rng = np.random.default_rng(14)
+    i = 0
+    while i < len(feed):  # ragged native-rate chunks
+        n = int(rng.uniform(0.3, 11) * FS_NATIVE)
+        events += sc.push(feed[i : i + n])
+        i += n
+    events += sc.flush()
+    assert len(events) > 0
+
+    # Batch reference: whole-recording FFT resample, the same frozen-stats
+    # normalization (stats from the batch-resampled calibration span).
+    res = fourier_resample_np_feed = None  # readability placeholder
+    from multimodalsignal_tpu.data.resample import resample_signal
+
+    batch_sig = resample_signal(feed.astype(np.float64), FS_NATIVE, FS
+                                ).astype(np.float32)
+    mean, std = channel_norm_stats(batch_sig[: calib_sec * FS],
+                                   list(CHANNELS))
+    n_win = (len(batch_sig) - WIN_S * FS) // (STRIDE_S * FS) + 1
+    wins = np.stack([
+        batch_sig[k * STRIDE_S * FS : k * STRIDE_S * FS + WIN_S * FS]
+        for k in range(n_win)])
+    x = np.ascontiguousarray(
+        apply_channel_norm(wins, list(CHANNELS), mean, std).transpose(0, 2, 1))
+    batch_probs = predictor.predict_windows(x, batch_size=64)
+
+    # The stream loses the trailing ~delay of input (still buffered when the
+    # feed ends), so it may emit one window fewer.
+    assert n_win - 1 <= len(events) <= n_win
+    got = np.stack([e.probs for e in events])
+    np.testing.assert_allclose(
+        got, batch_probs[: len(got)], atol=0.02,
+        err_msg="native-rate stream diverged from the batch pipeline")
+    agree = (got.argmax(1) == batch_probs[: len(got)].argmax(1)).mean()
+    assert agree == 1.0, f"labels disagree on {1 - agree:.1%} of windows"
