@@ -6,12 +6,16 @@ ours (`experiments/predict.py`) the way a deployment would see it:
   * host pipeline: raw pkl -> resample -> window -> normalize (CPU-bound)
   * batched throughput: windows/sec through the jitted forward at batch B
   * single-window latency: p50/p95 of one-window round trips
+  * HTTP load test (--load-clients N): N request threads hammering a live
+    serving.py instance with single-window POSTs, p50/p99 + coalescing
+    stats, micro-batched vs single-flight (--load-micro-batch-ms).
 
 Usage (run on an otherwise-idle host; TPU by default):
 
     python benchmarks/bench_serving.py \
         --run-dir output/e2e_r3f/run_.../ --fold S2 \
-        --pkl WESAD/S16/S16.pkl [--batch 256] [--iters 30]
+        --pkl WESAD/S16/S16.pkl [--batch 256] [--iters 30] \
+        [--load-clients 8 --load-requests 40]
 
 Prints one JSON line per measurement.
 """
@@ -40,6 +44,11 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--iters", type=int, default=300)
     p.add_argument("--latency-iters", type=int, default=50)
+    p.add_argument("--load-clients", type=int, default=8,
+                   help="HTTP load-test client threads (0 disables)")
+    p.add_argument("--load-requests", type=int, default=40,
+                   help="single-window requests per client")
+    p.add_argument("--load-micro-batch-ms", type=float, default=2.0)
     args = p.parse_args()
 
     from multimodalsignal_tpu.experiments.predict import EnsemblePredictor
@@ -134,6 +143,88 @@ def main() -> None:
         "p95_ms": round(float(np.percentile(lat_ms, 95)), 2),
         "unit": "ms",
     }))
+
+    # --- HTTP load test (micro-batching A/B) ---------------------------------
+    if args.load_clients > 0:
+        for mb_ms in (args.load_micro_batch_ms, 0.0):
+            stats = _http_load(predictor, batch[:1], args.load_clients,
+                               args.load_requests, mb_ms)
+            print(json.dumps({
+                "metric": (f"serving HTTP load ({args.load_clients} clients x "
+                           f"{args.load_requests} single-window reqs)"),
+                "micro_batch_ms": mb_ms, **stats, "unit": "ms",
+            }))
+
+
+def _http_load(predictor, window, clients: int, requests: int,
+               micro_batch_ms: float) -> dict:
+    """Spin a real serving.py server on an ephemeral port and hammer it."""
+    import threading
+    import urllib.request
+
+    from multimodalsignal_tpu.serving import (
+        PredictionService,
+        make_server,
+    )
+
+    service = PredictionService(predictor, batch_size=64,
+                                micro_batch_ms=micro_batch_ms)
+    service.predict_windows({"windows": window.tolist()})  # warm compile
+    service.requests_served = service.windows_served = 0
+    if service._batcher is not None:
+        service._batcher.batches_run = 0
+    server = make_server(service, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}/v1/predict"
+
+    lat: list[float] = []
+    lat_lock = threading.Lock()
+    errors: list[Exception] = []
+    start = threading.Barrier(clients)
+
+    def client(cid: int):
+        try:
+            start.wait()
+            for r in range(requests):
+                payload = json.dumps(
+                    {"windows": (window + np.float32((cid * requests + r)
+                                                     * 1e-9)).tolist()}
+                ).encode()
+                req = urllib.request.Request(
+                    url, data=payload,
+                    headers={"Content-Type": "application/json"},
+                    method="POST")
+                t0 = time.perf_counter()
+                with urllib.request.urlopen(req) as resp:
+                    resp.read()
+                    assert resp.status == 200
+                with lat_lock:
+                    lat.append(time.perf_counter() - t0)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(clients)]
+    t0 = time.perf_counter()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    wall = time.perf_counter() - t0
+    server.shutdown()
+    if errors:
+        raise errors[0]
+    lat_ms = np.asarray(lat) * 1e3
+    total = clients * requests
+    return {
+        "p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+        "p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
+        "throughput_rps": round(total / wall, 1),
+        "device_batches": (service._batcher.batches_run
+                           if service._batcher else service.requests_served),
+        "requests": total,
+    }
 
 
 if __name__ == "__main__":

@@ -37,6 +37,13 @@ Device execution is single-flight (one lock): a single chip serves one
 batched forward at a time, and the jitted program is shared across request
 threads. Batches are padded to a fixed size so one compiled program serves
 any request length (predict.Predictor.predict_windows).
+
+Concurrent small requests are MICRO-BATCHED (--micro-batch-ms, default 2 ms):
+a worker thread drains the request queue for up to that long (or until
+batch_size windows) and serves every waiting request with ONE padded device
+forward, instead of each paying a full padded-batch latency in turn. With
+the default padding, k concurrent 1-window requests cost one forward
+instead of k. --micro-batch-ms 0 restores pure single-flight.
 """
 
 from __future__ import annotations
@@ -45,6 +52,7 @@ import argparse
 import base64
 import io
 import json
+import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -55,17 +63,86 @@ import numpy as np
 from multimodalsignal_tpu.experiments.predict import CLASS_NAMES, Predictor
 
 
+class MicroBatcher:
+    """Coalesce concurrent predict requests into one padded device batch.
+
+    Leader thread model: one daemon worker blocks on the queue; on the
+    first pending request it keeps draining for up to `max_wait_s` (or
+    until `max_windows` are queued), concatenates, runs ONE
+    predictor.predict_windows under the service's device lock, and fans the
+    probability rows back out to the waiting request threads. Exceptions
+    propagate to every request in the failed batch.
+    """
+
+    def __init__(self, service: "PredictionService", max_wait_s: float):
+        self.service = service
+        self.max_wait_s = max_wait_s
+        self.max_windows = service.batch_size
+        self.batches_run = 0  # observability: coalescing effectiveness
+        self._q: queue.Queue = queue.Queue()
+        self._worker = threading.Thread(target=self._loop, daemon=True,
+                                        name="mms-microbatcher")
+        self._worker.start()
+
+    def submit(self, x: np.ndarray) -> np.ndarray:
+        done = threading.Event()
+        slot: dict = {}
+        self._q.put((x, done, slot))
+        done.wait()
+        if "err" in slot:
+            raise slot["err"]
+        return slot["probs"]
+
+    def _loop(self) -> None:
+        while True:
+            batch = [self._q.get()]  # block for the first request
+            n = len(batch[0][0])
+            deadline = time.perf_counter() + self.max_wait_s
+            while n < self.max_windows:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                batch.append(item)
+                n += len(item[0])
+            xs = (batch[0][0] if len(batch) == 1
+                  else np.concatenate([b[0] for b in batch]))
+            try:
+                svc = self.service
+                with svc._lock:
+                    probs = svc.predictor.predict_windows(xs, svc.batch_size)
+                    svc.requests_served += len(batch)
+                    svc.windows_served += len(xs)
+                    self.batches_run += 1
+                ofs = 0
+                for bx, done, slot in batch:
+                    slot["probs"] = probs[ofs : ofs + len(bx)]
+                    ofs += len(bx)
+                    done.set()
+            except Exception as exc:  # fan the failure out, keep serving
+                for _, done, slot in batch:
+                    slot["err"] = exc
+                    done.set()
+
+
 class PredictionService:
     """Thread-safe wrapper of one inference backend for request-driven
     serving. Backends: a live `Predictor` (checkpoint + config) or an
     `export.ExportedPredictor` (a single .mms artifact — no model code)."""
 
-    def __init__(self, predictor, batch_size: int = 64):
+    def __init__(self, predictor, batch_size: int = 64,
+                 micro_batch_ms: float = 2.0):
         self.predictor = predictor
         self.batch_size = batch_size
         self._lock = threading.Lock()  # single-flight device execution
         self.requests_served = 0
         self.windows_served = 0
+        self.micro_batch_ms = micro_batch_ms
+        self._batcher = (MicroBatcher(self, micro_batch_ms / 1e3)
+                         if micro_batch_ms > 0 else None)
         meta = getattr(predictor, "meta", None)
         if meta is not None:  # artifact backend
             self.model_name = meta["model"]
@@ -105,6 +182,9 @@ class PredictionService:
             "normalization": self.normalization,
             "platform": jax.devices()[0].platform,
             "batch_size": self.batch_size,
+            "micro_batch_ms": self.micro_batch_ms,
+            "batches_run": (self._batcher.batches_run
+                            if self._batcher else self.requests_served),
             "requests_served": self.requests_served,
             "windows_served": self.windows_served,
         }
@@ -113,12 +193,18 @@ class PredictionService:
     def predict_windows(self, payload: dict) -> dict:
         x = self._decode_windows(payload)
         t0 = time.perf_counter()
-        with self._lock:
-            probs = self.predictor.predict_windows(x, self.batch_size)
-            # Counter updates stay inside the lock: ThreadingHTTPServer runs
-            # handlers concurrently and += is not atomic.
-            self.requests_served += 1
-            self.windows_served += len(x)
+        if self._batcher is not None:
+            # Coalesced path: the worker thread batches this request with
+            # any others arriving within micro_batch_ms and updates the
+            # counters under the device lock.
+            probs = self._batcher.submit(x)
+        else:
+            with self._lock:
+                probs = self.predictor.predict_windows(x, self.batch_size)
+                # Counter updates stay inside the lock: ThreadingHTTPServer
+                # runs handlers concurrently and += is not atomic.
+                self.requests_served += 1
+                self.windows_served += len(x)
         latency_ms = (time.perf_counter() - t0) * 1e3
         return {
             "class_names": list(self.class_names),
@@ -261,6 +347,10 @@ def main(argv=None) -> None:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--micro-batch-ms", type=float, default=2.0,
+                   help="coalesce concurrent /v1/predict requests arriving "
+                        "within this window into one padded device batch "
+                        "(0 disables micro-batching)")
     args = p.parse_args(argv)
 
     if sum(map(bool, (args.artifact, args.run_dir,
@@ -279,13 +369,16 @@ def main(argv=None) -> None:
         predictor = Predictor.from_files(args.checkpoint, args.config)
     else:
         p.error("provide --artifact, --run-dir, or --checkpoint with --config")
-    service = PredictionService(predictor, batch_size=args.batch_size)
+    service = PredictionService(predictor, batch_size=args.batch_size,
+                                micro_batch_ms=args.micro_batch_ms)
     # Compile + warm the batched forward before accepting traffic, so the
     # first request does not pay the jit compile.
     warm = np.zeros((1,) + tuple(service.window_shape), np.float32)
     service.predict_windows({"windows": warm.tolist()})
     service.requests_served = 0
     service.windows_served = 0
+    if service._batcher is not None:
+        service._batcher.batches_run = 0
 
     server = make_server(service, args.host, args.port)
     card = service.health()

@@ -216,3 +216,76 @@ def test_artifact_backend_recording(service, tmp_path, wesad_root):
     np.testing.assert_allclose(
         [w["probs"] for w in res["windows"]],
         [w["probs"] for w in live["windows"]], atol=1e-5)
+
+
+def test_micro_batching_coalesces_and_matches(service):
+    """Concurrent single-window requests arriving inside the micro-batch
+    window are served by FEWER device forwards than requests, and every
+    caller gets exactly the probs of the equivalent lone request."""
+    svc = PredictionService(service.predictor, batch_size=8,
+                            micro_batch_ms=150.0)
+    x = np.random.default_rng(7).standard_normal((6, C, T)).astype(np.float32)
+    want = [svc.predict_windows({"windows": x[i : i + 1].tolist()})["probs"]
+            for i in range(3)]  # sequential warm + references
+
+    results: dict[int, list] = {}
+    errors: list = []
+    start = threading.Barrier(6)
+
+    def hit(i):
+        try:
+            start.wait()
+            results[i] = svc.predict_windows(
+                {"windows": x[i % 3 : i % 3 + 1].tolist()})["probs"]
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    before = svc._batcher.batches_run
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors and len(results) == 6
+    for i, probs in results.items():
+        np.testing.assert_allclose(probs, want[i % 3], atol=1e-5)
+    coalesced = svc._batcher.batches_run - before
+    # 6 requests released together inside a 150 ms window: strictly fewer
+    # batches than requests (typically 1-2).
+    assert 1 <= coalesced < 6, f"no coalescing happened ({coalesced} batches)"
+    assert svc.requests_served == 3 + 6
+
+
+def test_micro_batching_disabled_is_pure_single_flight(service):
+    svc = PredictionService(service.predictor, batch_size=8,
+                            micro_batch_ms=0.0)
+    assert svc._batcher is None
+    x = np.random.default_rng(8).standard_normal((2, C, T)).astype(np.float32)
+    out = svc.predict_windows({"windows": x.tolist()})
+    ref = service.predict_windows({"windows": x.tolist()})
+    np.testing.assert_allclose(out["probs"], ref["probs"], atol=1e-6)
+    assert svc.health()["batches_run"] == svc.requests_served == 1
+
+
+def test_micro_batching_error_isolation(service):
+    """A failing batch must not wedge the worker: subsequent requests are
+    still served."""
+    svc = PredictionService(service.predictor, batch_size=8,
+                            micro_batch_ms=5.0)
+    bad = np.zeros((1, C, T), np.float32)
+
+    orig = svc.predictor.predict_windows
+    calls = {"n": 0}
+
+    def flaky(x, batch_size):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected device failure")
+        return orig(x, batch_size)
+
+    svc.predictor = type("P", (), {})()  # shell with just predict_windows
+    svc.predictor.predict_windows = flaky
+    with pytest.raises(RuntimeError, match="injected"):
+        svc._batcher.submit(bad)
+    probs = svc._batcher.submit(bad)
+    assert probs.shape == (1, 2)
