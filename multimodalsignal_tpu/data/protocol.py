@@ -21,7 +21,14 @@ class ProtocolRow:
 
 def _parse_row(fields: list[str]) -> list[str]:
     # Drop the leading "# ORDER/START/END" marker cell, keep non-empty cells.
-    return [f.strip() for f in fields[1:] if f is not None and f.strip() != ""]
+    # Real WESAD quest CSVs pad rows with trailing ';' separators, and some
+    # exports materialize those empties as literal NaN cells — the reference
+    # reads them via pandas and relies on .dropna() (preprocess.py:47-49);
+    # the csv-reader equivalent must drop both forms.
+    return [
+        f.strip() for f in fields[1:]
+        if f is not None and f.strip() != "" and f.strip().lower() != "nan"
+    ]
 
 
 def parse_quest_csv(subject_id: str, wesad_root: Path | str) -> list[ProtocolRow]:
