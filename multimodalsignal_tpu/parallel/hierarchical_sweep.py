@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from multimodalsignal_tpu.config import HierarchicalConfig, save_config
+from multimodalsignal_tpu.parallel import multihost
 from multimodalsignal_tpu.data.dataset import (
     from_pickles_meta,
     pack_corpus,
@@ -59,11 +60,13 @@ def run_hierarchical_sharded(
         _subject_memo: dict = {}
         _, meta = from_pickles_meta(
             _ordered_union(cfg.m1_channels, cfg.m2_channels))
-        save_config(cfg, run_output_dir / "config.json",
-                    extra={"preprocess_meta": meta})
+        if multihost.is_primary():
+            save_config(cfg, run_output_dir / "config.json",
+                        extra={"preprocess_meta": meta})
     else:
-        save_config(cfg, run_output_dir / "config.json",
-                    extra={"preprocess_meta": read_preprocess_meta(base.data_path)})
+        if multihost.is_primary():
+            save_config(cfg, run_output_dir / "config.json",
+                        extra={"preprocess_meta": read_preprocess_meta(base.data_path)})
         if all_channel_names is None:
             all_channel_names = read_channel_names(base.data_path)
 
@@ -226,6 +229,9 @@ def _write_summary_from_cms(run_dir: Path, results, total_cm: np.ndarray) -> dic
         "Overall confusion matrix (rows=true, cols=pred; 0=Base, 1=Fun, 2=Stress):",
         str(total_cm.astype(int)),
     ]
-    (run_dir / "hierarchical_summary.txt").write_text("\n".join(lines) + "\n")
-    print(f"Hierarchical summary saved to: {run_dir / 'hierarchical_summary.txt'}")
+    if multihost.is_primary():
+        (run_dir / "hierarchical_summary.txt").write_text(
+            "\n".join(lines) + "\n")
+        print("Hierarchical summary saved to: "
+              f"{run_dir / 'hierarchical_summary.txt'}")
     return summary

@@ -35,6 +35,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 from multimodalsignal_tpu.config import ExperimentConfig
+from multimodalsignal_tpu.parallel import multihost
 from multimodalsignal_tpu.parallel.fold_sweep import (
     FoldBatch,
     build_fold_batch,
@@ -242,16 +243,19 @@ def run_replicated_experiment(
     summary["wall_s"] = time.time() - t0
     summary["seed_chunk"] = chunk
     summary["launch_walls_s"] = [round(w, 2) for w in chunk_walls]
-    write_seed_summary(run_output_dir / "seed_summary.txt", cfg, summary)
-    (run_output_dir / "seed_summary.json").write_text(
-        json.dumps(summary, indent=2) + "\n"
-    )
-    np.savez(
-        run_output_dir / "seed_fold_matrix.npz",
-        accuracy=np.asarray(summary["accuracy"]),
-        f1=np.asarray(summary["f1"]),
-        seeds=np.asarray(seeds),
-        subjects=np.asarray(fb.test_subjects),
-    )
-    print(f"\nReplicated sweep wall-clock: {summary['wall_s']:.2f}s")
+    # Every process holds the gathered results; only the primary writes
+    # (multi-host convention, parallel/multihost.py).
+    if multihost.is_primary():
+        write_seed_summary(run_output_dir / "seed_summary.txt", cfg, summary)
+        (run_output_dir / "seed_summary.json").write_text(
+            json.dumps(summary, indent=2) + "\n"
+        )
+        np.savez(
+            run_output_dir / "seed_fold_matrix.npz",
+            accuracy=np.asarray(summary["accuracy"]),
+            f1=np.asarray(summary["f1"]),
+            seeds=np.asarray(seeds),
+            subjects=np.asarray(fb.test_subjects),
+        )
+        print(f"\nReplicated sweep wall-clock: {summary['wall_s']:.2f}s")
     return summary
