@@ -36,3 +36,15 @@ def test_tee_logger_append_fresh_file(tmp_path):
     path = tmp_path / "log.txt"
     TeeLogger(path, header="hello", append=True)
     assert path.read_text().startswith("hello\n")
+
+
+def test_make_run_dir_honors_mms_run_id(tmp_path, monkeypatch):
+    """Multi-host launches set MMS_RUN_ID so every process computes the
+    same run directory (parallel/multihost.py)."""
+    monkeypatch.setenv("MMS_RUN_ID", "podjob7")
+    a = make_run_dir(tmp_path, "exp")
+    b = make_run_dir(tmp_path, "exp")
+    assert a == b == tmp_path / "exp" / "run_podjob7"
+    monkeypatch.delenv("MMS_RUN_ID")
+    c = make_run_dir(tmp_path, "exp")
+    assert c.name.startswith("run_") and c != a
