@@ -162,9 +162,21 @@ def main(argv=None) -> None:
     p.add_argument("--models", nargs="*", default=list(DEFAULT_MODELS))
     p.add_argument("--subsets", nargs="*", default=list(DEFAULT_CHANNEL_SUBSETS),
                    help=f"named subsets from {list(DEFAULT_CHANNEL_SUBSETS)}")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="dotted-path override on the BASE config applied to "
+                        "every grid point (main.py semantics), e.g. "
+                        "model.reduction_ratio=1 trainer.epochs=50")
     args = p.parse_args(argv)
     base = (config_from_dict(ExperimentConfig, json.loads(args.config.read_text()))
             if args.config else ExperimentConfig())
+    if args.set:
+        from multimodalsignal_tpu.config import apply_overrides
+        from multimodalsignal_tpu.main import _parse_value
+
+        base = apply_overrides(base, {
+            k.strip(): _parse_value(v.strip())
+            for k, _, v in (item.partition("=") for item in args.set)
+        })
     cfg = AblationConfig(
         base=base,
         channel_subsets={k: DEFAULT_CHANNEL_SUBSETS[k] for k in args.subsets},

@@ -57,3 +57,33 @@ def test_run_ablation_grid(preprocessed, tmp_path):  # noqa: F811
     assert 0.0 <= p.mean_accuracy <= 1.0
     assert (tmp_path / "ablation_summary.txt").exists()
     assert (tmp_path / "ecg__cnn_gru" / "cv_summary.txt").exists()
+
+
+def test_ablation_cli_set_overrides(preprocessed, tmp_path):  # noqa: F811
+    """--set dotted overrides reach every grid point's base config (e.g. a
+    full-rank attention grid: model.reduction_ratio=1)."""
+    import numpy as np
+
+    from multimodalsignal_tpu.experiments import ablation as ab
+
+    base_cfg = {
+        "data_path": str(preprocessed / "chest_raw"),
+        "subjects": list(SUBJECTS_SMALL),
+        "model": {"cnn_out_channels": 4, "gru_hidden_size": 4,
+                  "gru_num_layers": 1},
+        "trainer": {"epochs": 1, "batch_size": 16,
+                    "early_stopping": {"patience": 1}},
+    }
+    cfg_path = tmp_path / "base.json"
+    cfg_path.write_text(json.dumps(base_cfg))
+    out = tmp_path / "abl"
+    ab.main(["--config", str(cfg_path), "--out", str(out),
+             "--execution", "serial", "--models", "cnn_gru_attention",
+             "--subsets", "ecg",
+             "--set", "model.reduction_ratio=1",
+             "--set", "trainer.learning_rate=0.002"])
+    run_dir = next(out.glob("run_*"))
+    point = json.loads(
+        next(run_dir.glob("*/config.json")).read_text())
+    assert point["model"]["reduction_ratio"] == 1
+    assert np.isclose(point["trainer"]["learning_rate"], 0.002)
