@@ -128,8 +128,14 @@ def main() -> None:
     # Latency-floor arithmetic: sequential cell steps per train step under
     # the shipped schedule (pallas_db: both directions ride ONE walk; the
     # pruned final layer runs fwd-direction only + 1 cell), mirrored by the
-    # adjoint.
-    seq_steps = 2 * (2 * t2p + 1)
+    # adjoint. Without the prune, the final layer's backward direction rides
+    # the direction-batched walk (same T' wall), so the walk count per pass
+    # is 2 either way — the prune removes the +1 cell and the lone-direction
+    # walk's second lane, not a walk.
+    if args.no_last_prune:
+        seq_steps = 2 * (2 * t2p)
+    else:
+        seq_steps = 2 * (2 * t2p + 1)
     step_ms = 1e3 / args.steps_per_sec
     per_cell_us = step_ms * 1e3 / seq_steps
     walk_cell_us = args.walk_us / t2p

@@ -497,13 +497,16 @@ def run_fold_sweep(
 
     dispatch = dispatch or getattr(cfg, "sweep_dispatch", "per_epoch")
     x_flat, y_flat, _ = corpus.flat()
-    x = jnp.asarray(x_flat, jnp.float32)
+    # Keep the corpus as HOST numpy until put_global: in multi-process runs
+    # put_global reads numpy per leaf, and an eager jnp.asarray here would
+    # cost a redundant device->host->device round trip of the whole corpus.
+    x = np.asarray(x_flat, np.float32)
     feat_flat = corpus.flat_feat()
     if feat_flat is not None:
         # Hybrid corpus: the model input pytree is (raw, feat); both streams
         # share the window index space, so every pool gather serves both.
-        x = (x, jnp.asarray(feat_flat, jnp.float32))
-    y = jnp.asarray(y_flat, jnp.int32)
+        x = (x, np.asarray(feat_flat, np.float32))
+    y = np.asarray(y_flat, np.int32)
 
     steps_tr = max(-(-int(fb.n_train.max()) // batch), 1)
     steps_va = max(-(-int(fb.n_val.max()) // batch), 1)
@@ -609,12 +612,22 @@ def run_fold_sweep(
     start_epoch = 0
     checkpoint_every = cfg.trainer.checkpoint_every if run_dir else 0
     if run_dir is not None and cfg.trainer.resume:
-        # Template must be host-local (restore_state reads into numpy);
-        # to_host gathers the (init-fresh, tiny) carry in multi-process runs.
-        restored = _load_sweep_resume(Path(run_dir),
-                                      multihost.to_host(carry, mesh))
+        # Check existence BEFORE gathering the carry template: the gather is
+        # a full cross-host transfer of every fold's state and is wasted on
+        # the (normal) first launch of a resumable job. Every process must
+        # see the same checkpoint — a divergence (non-shared run dir) would
+        # desynchronize the collective schedule, so fail loudly instead.
+        exists = (Path(run_dir) / _RESUME_STATE).exists()
+        multihost.assert_agreement(int(exists), "sweep_resume existence")
+        restored = None
+        if exists:
+            # Template must be host-local (restore_state reads into numpy);
+            # to_host gathers the (init-fresh, tiny) carry multi-process.
+            restored = _load_sweep_resume(Path(run_dir),
+                                          multihost.to_host(carry, mesh))
         if restored is not None:
             carry, logs, start_epoch = restored
+            multihost.assert_agreement(start_epoch, "resume epoch")
             carry = multihost.put_global(carry, fold_sharding)
             if multihost.is_primary():
                 print(f"  resumed sweep from epoch {start_epoch}", flush=True)

@@ -145,6 +145,27 @@ def to_host(tree, mesh: Mesh):
     return jax.tree_util.tree_map(np.asarray, gathered)
 
 
+def assert_agreement(value: int, name: str) -> None:
+    """Raise unless every process holds the same integer `value`.
+
+    Guards host-side control decisions that MUST match across processes
+    (e.g. the resume epoch read from a possibly non-shared run dir): a
+    divergence would desynchronize the per-epoch collective schedule and
+    hang or corrupt the job. No-op single-process."""
+    if not _multi():
+        return
+    from jax.experimental import multihost_utils
+
+    values = np.asarray(
+        multihost_utils.process_allgather(np.int32(value)))
+    if not (values == values.flat[0]).all():
+        raise RuntimeError(
+            f"multi-host disagreement on {name}: per-process values "
+            f"{values.tolist()} — is the run dir shared/replicated across "
+            f"hosts? (checkpoint/resume requires every process to see the "
+            f"same sweep_resume files)")
+
+
 def sync(name: str = "mms_sync") -> None:
     """Barrier across processes (no-op single-process). Used before
     primary-only artifact reads that other processes produce."""

@@ -208,16 +208,18 @@ def run_replicated_experiment(
                                   cfg.val_fraction, cfg.seed,
                                   pad_folds_to=per_group)
             rfb = replicate_fold_batch(fb, len(chunk_seeds))
-            print("=" * 80)
-            print(f"Seed-replicated sweep [launch {launch_idx + 1}/{total}]: "
-                  f"{len(fb.test_subjects)} folds x {len(chunk_seeds)} "
-                  f"seeds = {len(fb.test_subjects) * len(chunk_seeds)} "
-                  f"lanes (padded to {rfb.train_pool.shape[0]}) over "
-                  f"{mesh.devices.size} devices "
-                  f"[{mesh.devices.flat[0].platform}]")
-            if launch_idx == 0:
-                print(f"  staging: {staging_s:.1f}s")
-            print("=" * 80)
+            if multihost.is_primary():
+                print("=" * 80)
+                print(f"Seed-replicated sweep "
+                      f"[launch {launch_idx + 1}/{total}]: "
+                      f"{len(fb.test_subjects)} folds x {len(chunk_seeds)} "
+                      f"seeds = {len(fb.test_subjects) * len(chunk_seeds)} "
+                      f"lanes (padded to {rfb.train_pool.shape[0]}) over "
+                      f"{mesh.devices.size} devices "
+                      f"[{mesh.devices.flat[0].platform}]")
+                if launch_idx == 0:
+                    print(f"  staging: {staging_s:.1f}s")
+                print("=" * 80)
             result = run_fold_sweep(corpus, rfb, cfg, mesh,
                                     seeds=chunk_seeds)
             a, f = _acc_f1_matrices(result, fb, len(chunk_seeds),

@@ -43,7 +43,11 @@ a worker thread drains the request queue for up to that long (or until
 batch_size windows) and serves every waiting request with ONE padded device
 forward, instead of each paying a full padded-batch latency in turn. With
 the default padding, k concurrent 1-window requests cost one forward
-instead of k. --micro-batch-ms 0 restores pure single-flight.
+instead of k. Documented tradeoff: an IDLE server pays up to the linger
+window of extra latency per lone request (2 ms against a ~10 ms padded
+forward); --micro-batch-ms 0 restores pure single-flight latency at the
+cost of serial forwards under concurrency (bench_serving.py's load test
+measures both modes).
 """
 
 from __future__ import annotations
@@ -108,9 +112,13 @@ class MicroBatcher:
                     break
                 batch.append(item)
                 n += len(item[0])
-            xs = (batch[0][0] if len(batch) == 1
-                  else np.concatenate([b[0] for b in batch]))
             try:
+                # Concatenation stays INSIDE the try: a MemoryError on a
+                # pathological batch must fan out to the waiting requests,
+                # not kill the lone worker thread (which would wedge every
+                # future request in done.wait()).
+                xs = (batch[0][0] if len(batch) == 1
+                      else np.concatenate([b[0] for b in batch]))
                 svc = self.service
                 with svc._lock:
                     probs = svc.predictor.predict_windows(xs, svc.batch_size)

@@ -38,10 +38,16 @@ def enable_compilation_cache(cache_dir: Path | str | None = None) -> None:
 def make_run_dir(output_root: Path | str, run_name: str) -> Path:
     """Create output/<run_name>/run_<timestamp>/ (reference main.py:73-75).
 
-    MMS_RUN_ID overrides the timestamp — multi-host launches set it so every
-    process computes the SAME run directory (parallel/multihost.py)."""
-    run_id = os.environ.get("MMS_RUN_ID") or time.strftime("%Y%m%d_%H%M%S")
-    run_dir = Path(output_root) / run_name / f"run_{run_id}"
+    MMS_RUN_ID overrides the timestamp so every process of a multi-host
+    launch computes the SAME run directory (parallel/multihost.py). It is
+    honored ONLY alongside the multi-host env (MMS_NUM_PROCESSES): a stale
+    exported MMS_RUN_ID must not make later single-host runs silently reuse
+    (and overwrite) an existing run directory."""
+    run_id = None
+    if os.environ.get("MMS_NUM_PROCESSES"):
+        run_id = os.environ.get("MMS_RUN_ID")
+    run_dir = (Path(output_root) / run_name
+               / f"run_{run_id or time.strftime('%Y%m%d_%H%M%S')}")
     run_dir.mkdir(parents=True, exist_ok=True)
     return run_dir
 

@@ -43,7 +43,12 @@ def test_two_process_sweep_bit_identical_to_single(tmp_path):
     multihost_worker.dump_result(result, fb, base_path)
 
     # Distributed: 2 processes x 4 devices, same global device count.
-    port = 21000 + os.getpid() % 20000
+    # Bind an ephemeral socket to find a genuinely free coordinator port.
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
     out = tmp_path / "dist.npz"
     procs = [_spawn_worker(i, 2, port, out) for i in range(2)]
     outputs = []

@@ -244,7 +244,6 @@ def test_stream_native_rate_matches_batch_predictions(predictor):
 
     # Batch reference: whole-recording FFT resample, the same frozen-stats
     # normalization (stats from the batch-resampled calibration span).
-    res = fourier_resample_np_feed = None  # readability placeholder
     from multimodalsignal_tpu.data.resample import resample_signal
 
     batch_sig = resample_signal(feed.astype(np.float64), FS_NATIVE, FS

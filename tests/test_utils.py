@@ -41,10 +41,15 @@ def test_tee_logger_append_fresh_file(tmp_path):
 def test_make_run_dir_honors_mms_run_id(tmp_path, monkeypatch):
     """Multi-host launches set MMS_RUN_ID so every process computes the
     same run directory (parallel/multihost.py)."""
+    monkeypatch.setenv("MMS_NUM_PROCESSES", "2")
     monkeypatch.setenv("MMS_RUN_ID", "podjob7")
     a = make_run_dir(tmp_path, "exp")
     b = make_run_dir(tmp_path, "exp")
     assert a == b == tmp_path / "exp" / "run_podjob7"
-    monkeypatch.delenv("MMS_RUN_ID")
+    # A stale MMS_RUN_ID without the multi-host env must NOT reuse the dir.
+    monkeypatch.delenv("MMS_NUM_PROCESSES")
     c = make_run_dir(tmp_path, "exp")
     assert c.name.startswith("run_") and c != a
+    monkeypatch.delenv("MMS_RUN_ID")
+    d = make_run_dir(tmp_path, "exp")
+    assert d != a
