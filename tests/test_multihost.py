@@ -81,3 +81,47 @@ def test_two_process_sweep_bit_identical_to_single(tmp_path):
     with np.load(base_path) as single:
         tl = single["test_loss"][single["fold_valid"]]
         assert len(np.unique(tl)) > 1
+
+
+def test_helpers_single_process_fast_paths():
+    """put_global/to_host/assert_agreement/sync reduce to plain
+    device_put/np.asarray/no-ops in single-process runs (the code path every
+    non-pod user exercises)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from multimodalsignal_tpu.parallel import multihost
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("fold",))
+    shard = NamedSharding(mesh, P("fold"))
+    tree = {"a": np.arange(8, dtype=np.float32),
+            "b": (np.ones((8, 3), np.float32),
+                  np.full((8,), 7, np.int32))}
+    dev = multihost.put_global(tree, shard)
+    assert dev["a"].sharding.is_equivalent_to(shard, 1)
+    host = multihost.to_host(dev, mesh)
+    np.testing.assert_array_equal(host["a"], tree["a"])
+    np.testing.assert_array_equal(host["b"][0], tree["b"][0])
+    assert isinstance(host["a"], np.ndarray)
+    # Scalars/no-ops must not throw in single-process mode.
+    multihost.assert_agreement(5, "noop")
+    multihost.sync("noop")
+    assert multihost.is_primary()
+    # Gather-fn memoization: same mesh -> same jitted identity object.
+    from multimodalsignal_tpu.parallel.multihost import _gather_fn
+    assert _gather_fn(mesh) is _gather_fn(mesh)
+
+
+def test_env_initialize_requires_all_three(monkeypatch):
+    """Partial MMS_* env must not attempt distributed init."""
+    from multimodalsignal_tpu.parallel import multihost
+
+    monkeypatch.delenv("MMS_COORDINATOR", raising=False)
+    monkeypatch.delenv("MMS_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("MMS_PROCESS_ID", raising=False)
+    assert multihost.maybe_initialize_from_env() is False
+    monkeypatch.setenv("MMS_COORDINATOR", "localhost:1")
+    monkeypatch.setenv("MMS_NUM_PROCESSES", "2")
+    # PROCESS_ID still missing -> no init attempt (which would hang).
+    assert multihost.maybe_initialize_from_env() is False
