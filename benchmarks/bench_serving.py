@@ -146,7 +146,12 @@ def main() -> None:
 
     # --- HTTP load test (micro-batching A/B) ---------------------------------
     if args.load_clients > 0:
-        for mb_ms in (args.load_micro_batch_ms, 0.0):
+        # A/B coalescing vs single-flight; collapse to one arm when the
+        # requested setting IS single-flight (0 would just run twice).
+        arms = (args.load_micro_batch_ms, 0.0)
+        if args.load_micro_batch_ms == 0.0:
+            arms = (0.0,)
+        for mb_ms in arms:
             stats = _http_load(predictor, batch[:1], args.load_clients,
                                args.load_requests, mb_ms)
             print(json.dumps({
@@ -213,6 +218,9 @@ def _http_load(predictor, window, clients: int, requests: int,
         th.join()
     wall = time.perf_counter() - t0
     server.shutdown()
+    server.server_close()  # shutdown() stops the loop but leaks the socket
+    thread.join()
+    service.close()  # release the micro-batcher worker thread
     if errors:
         raise errors[0]
     lat_ms = np.asarray(lat) * 1e3

@@ -55,8 +55,11 @@ T2 = 480  # post-conv GRU length
 
 
 def _time(fn, *args, iters=200) -> float:
-    """Median-of-3 wall per call, device-synchronized, scan-free (each call
-    depends on the previous output via a scalar fold to defeat dedup)."""
+    """Median-of-3 wall per call, device-synchronized. Calls are
+    independent repeats of the SAME dispatch (no dedup-defeating fold) —
+    fine for the relative comparisons this probe makes, but absolute
+    numbers can flatter on runtimes that overlap identical dispatches;
+    bench.py's scan-chained harness is the authoritative absolute timer."""
     out = fn(*args)
     jax.block_until_ready(out)
     walls = []

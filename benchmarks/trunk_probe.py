@@ -181,7 +181,6 @@ def check_parity(batch=4, seq=512, channels=3):
         m = VARIANTS[name](dtype=jnp.float32)
         v = m.init(rng, x, train=False)
         # Graft the flax conv kernels into the matmul params.
-        v = jax.tree_util.tree_map_with_path(lambda p, a: a, v)
         params = dict(v["params"])
         params["conv1"] = vref["params"]["conv1"]["kernel"]
         params["conv2"] = vref["params"]["conv2"]["kernel"]

@@ -554,12 +554,15 @@ def run_fold_sweep(
 
     x_dev = multihost.put_global(x, repl)
     y_dev = multihost.put_global(y, repl)
-    tr_pool = put_folded(jnp.asarray(fb.train_pool))
-    n_tr = put_folded(jnp.asarray(fb.n_train))
-    va_pool = put_folded(jnp.asarray(fb.val_pool))
-    n_va = put_folded(jnp.asarray(fb.n_val))
-    te_pool = put_folded(jnp.asarray(fb.test_pool))
-    n_te = put_folded(jnp.asarray(fb.n_test))
+    # fb.* are already host numpy — hand them to put_global as-is (same
+    # rationale as the corpus comment above: an eager jnp.asarray would
+    # bounce each pool device->host->device before the scatter).
+    tr_pool = put_folded(fb.train_pool)
+    n_tr = put_folded(fb.n_train)
+    va_pool = put_folded(fb.val_pool)
+    n_va = put_folded(fb.n_val)
+    te_pool = put_folded(fb.test_pool)
+    n_te = put_folded(fb.n_test)
     init_states = put_folded(init_states)
     run_rngs = put_folded(run_rngs)
 
@@ -579,7 +582,7 @@ def run_fold_sweep(
         ])
     else:
         cw_np = np.ones((num_folds, cfg.num_classes), np.float32)
-    fb_cw = put_folded(jnp.asarray(cw_np))
+    fb_cw = put_folded(cw_np)
 
     if dispatch not in ("per_epoch", "segmented"):
         raise ValueError(
@@ -611,6 +614,17 @@ def run_fold_sweep(
     logs: list = []
     start_epoch = 0
     checkpoint_every = cfg.trainer.checkpoint_every if run_dir else 0
+    if dispatch == "segmented" and (checkpoint_every > 0
+                                    or cfg.trainer.resume
+                                    or abort_after_epoch is not None):
+        # Raised BEFORE the resume-restore below: a stale per_epoch
+        # sweep_resume.msgpack must never be silently restored into a mode
+        # whose epoch schedule differs.
+        raise ValueError(
+            "checkpoint/resume and the preemption drill are per_epoch "
+            "features (they need an epoch-granular host boundary); "
+            "segmented dispatch does not support them"
+        )
     if run_dir is not None and cfg.trainer.resume:
         # Check existence BEFORE gathering the carry template: the gather is
         # a full cross-host transfer of every fold's state and is wasted on
@@ -631,14 +645,6 @@ def run_fold_sweep(
             carry = multihost.put_global(carry, fold_sharding)
             if multihost.is_primary():
                 print(f"  resumed sweep from epoch {start_epoch}", flush=True)
-
-    if dispatch == "segmented" and (checkpoint_every > 0
-                                    or abort_after_epoch is not None):
-        raise ValueError(
-            "checkpoint/resume and the preemption drill are per_epoch "
-            "features (they need an epoch-granular host boundary); "
-            "segmented dispatch does not support them"
-        )
 
     epochs_ran = start_epoch
     t_train = time.time()

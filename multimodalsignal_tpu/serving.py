@@ -83,12 +83,15 @@ class MicroBatcher:
         self.max_wait_s = max_wait_s
         self.max_windows = service.batch_size
         self.batches_run = 0  # observability: coalescing effectiveness
+        self._closed = False
         self._q: queue.Queue = queue.Queue()
         self._worker = threading.Thread(target=self._loop, daemon=True,
                                         name="mms-microbatcher")
         self._worker.start()
 
     def submit(self, x: np.ndarray) -> np.ndarray:
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
         done = threading.Event()
         slot: dict = {}
         self._q.put((x, done, slot))
@@ -97,9 +100,22 @@ class MicroBatcher:
             raise slot["err"]
         return slot["probs"]
 
+    def close(self) -> None:
+        """Stop the worker thread (idempotent). In-flight requests drain
+        first (the sentinel queues behind them); later submit() raises."""
+        if self._closed:
+            return
+        self._closed = True
+        self._q.put(None)
+        self._worker.join()
+
     def _loop(self) -> None:
-        while True:
-            batch = [self._q.get()]  # block for the first request
+        stop = False
+        while not stop:
+            first = self._q.get()  # block for the first request
+            if first is None:  # close() sentinel
+                return
+            batch = [first]
             n = len(batch[0][0])
             deadline = time.perf_counter() + self.max_wait_s
             while n < self.max_windows:
@@ -109,6 +125,9 @@ class MicroBatcher:
                 try:
                     item = self._q.get(timeout=remaining)
                 except queue.Empty:
+                    break
+                if item is None:  # sentinel mid-drain: finish this batch
+                    stop = True
                     break
                 batch.append(item)
                 n += len(item[0])
@@ -196,6 +215,16 @@ class PredictionService:
             "requests_served": self.requests_served,
             "windows_served": self.windows_served,
         }
+
+    def close(self) -> None:
+        """Release the micro-batcher worker thread (idempotent). Without
+        this every service with micro_batch_ms > 0 pins one daemon thread
+        (and, through it, the predictor's jitted programs) for process
+        lifetime — long-lived hosts that build services repeatedly
+        (benchmarks, notebooks, test suites) must call close()."""
+        if self._batcher is not None:
+            self._batcher.close()
+            self._batcher = None
 
     # -- request handlers -------------------------------------------------------
     def predict_windows(self, payload: dict) -> dict:
@@ -398,6 +427,9 @@ def main(argv=None) -> None:
         server.serve_forever()
     except KeyboardInterrupt:
         server.shutdown()
+    finally:
+        server.server_close()
+        service.close()
 
 
 if __name__ == "__main__":

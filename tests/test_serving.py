@@ -50,6 +50,9 @@ def server_url(service):
     thread.start()
     yield f"http://127.0.0.1:{server.server_address[1]}"
     server.shutdown()
+    server.server_close()
+    thread.join()
+    service.close()  # release the micro-batcher worker thread
 
 
 def _post(url, payload):
@@ -197,6 +200,9 @@ def test_artifact_backend_parity(service, tmp_path):
         np.testing.assert_allclose(art["probs"], live["probs"], atol=1e-5)
     finally:
         server.shutdown()
+        server.server_close()
+        thread.join()
+        art_service.close()
 
 
 def test_artifact_backend_recording(service, tmp_path, wesad_root):
@@ -254,6 +260,7 @@ def test_micro_batching_coalesces_and_matches(service):
     # batches than requests (typically 1-2).
     assert 1 <= coalesced < 6, f"no coalescing happened ({coalesced} batches)"
     assert svc.requests_served == 3 + 6
+    svc.close()
 
 
 def test_micro_batching_disabled_is_pure_single_flight(service):
@@ -289,3 +296,23 @@ def test_micro_batching_error_isolation(service):
         svc._batcher.submit(bad)
     probs = svc._batcher.submit(bad)
     assert probs.shape == (1, 2)
+    svc.close()
+
+
+def test_micro_batching_close_releases_worker(service):
+    """close() joins the worker thread (no leak), is idempotent, and later
+    submits fail loudly instead of blocking forever."""
+    svc = PredictionService(service.predictor, batch_size=8,
+                            micro_batch_ms=5.0)
+    batcher = svc._batcher
+    assert batcher._worker.is_alive()
+    svc.close()
+    assert not batcher._worker.is_alive()
+    assert svc._batcher is None
+    with pytest.raises(RuntimeError, match="closed"):
+        batcher.submit(np.zeros((1, C, T), np.float32))
+    svc.close()  # idempotent
+    # The service itself still serves via the single-flight path.
+    out = svc.predict_windows(
+        {"windows": np.zeros((1, C, T), np.float32).tolist()})
+    assert len(out["probs"]) == 1
