@@ -220,6 +220,10 @@ def _http_load(predictor, window, clients: int, requests: int,
     server.shutdown()
     server.server_close()  # shutdown() stops the loop but leaks the socket
     thread.join()
+    # Capture before close(): close() drops _batcher, which would silently
+    # fall back to requests_served and report one batch per request.
+    device_batches = (service._batcher.batches_run
+                      if service._batcher else service.requests_served)
     service.close()  # release the micro-batcher worker thread
     if errors:
         raise errors[0]
@@ -229,8 +233,7 @@ def _http_load(predictor, window, clients: int, requests: int,
         "p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
         "p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
         "throughput_rps": round(total / wall, 1),
-        "device_batches": (service._batcher.batches_run
-                           if service._batcher else service.requests_served),
+        "device_batches": device_batches,
         "requests": total,
     }
 

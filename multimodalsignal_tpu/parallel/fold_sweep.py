@@ -614,8 +614,15 @@ def run_fold_sweep(
     logs: list = []
     start_epoch = 0
     checkpoint_every = cfg.trainer.checkpoint_every if run_dir else 0
+    # resume is only live when there is BOTH a run_dir and an existing
+    # sweep_resume checkpoint in it (the restore below is gated the same
+    # way); a config harmlessly carrying resume=True with no run_dir or a
+    # fresh run dir must not reject segmented dispatch. Every process sees
+    # the same (shared) run dir, so the existence check agrees.
+    resume_live = (cfg.trainer.resume and run_dir is not None
+                   and (Path(run_dir) / _RESUME_STATE).exists())
     if dispatch == "segmented" and (checkpoint_every > 0
-                                    or cfg.trainer.resume
+                                    or resume_live
                                     or abort_after_epoch is not None):
         # Raised BEFORE the resume-restore below: a stale per_epoch
         # sweep_resume.msgpack must never be silently restored into a mode

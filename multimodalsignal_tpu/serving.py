@@ -84,17 +84,23 @@ class MicroBatcher:
         self.max_windows = service.batch_size
         self.batches_run = 0  # observability: coalescing effectiveness
         self._closed = False
+        # Serializes the closed-check-then-put in submit() against close():
+        # without it a submit passing the check while close() enqueues the
+        # sentinel would land BEHIND the sentinel and block forever in
+        # done.wait() (the worker exits at the sentinel).
+        self._state_lock = threading.Lock()
         self._q: queue.Queue = queue.Queue()
         self._worker = threading.Thread(target=self._loop, daemon=True,
                                         name="mms-microbatcher")
         self._worker.start()
 
     def submit(self, x: np.ndarray) -> np.ndarray:
-        if self._closed:
-            raise RuntimeError("MicroBatcher is closed")
         done = threading.Event()
         slot: dict = {}
-        self._q.put((x, done, slot))
+        with self._state_lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._q.put((x, done, slot))
         done.wait()
         if "err" in slot:
             raise slot["err"]
@@ -103,10 +109,11 @@ class MicroBatcher:
     def close(self) -> None:
         """Stop the worker thread (idempotent). In-flight requests drain
         first (the sentinel queues behind them); later submit() raises."""
-        if self._closed:
-            return
-        self._closed = True
-        self._q.put(None)
+        with self._state_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)
         self._worker.join()
 
     def _loop(self) -> None:

@@ -123,12 +123,16 @@ def test_sharded_experiment_end_to_end(preprocessed, tmp_path):  # noqa: F811
 
 
 @pytest.mark.slow
-def test_dispatch_modes_equivalent():
+def test_dispatch_modes_equivalent(tmp_path):
     """'segmented' (lax.scan of N epochs per device execution) and
     'per_epoch' (host epoch loop) must produce bit-identical per-fold
     results AND histories. epochs=5 with segment=2 exercises the
     remainder-length segment program; patience=1 makes folds stop before
-    the horizon so the trailing-coast trim is exercised too."""
+    the horizon so the trailing-coast trim is exercised too.
+
+    cfg carries trainer.resume=True with run_dir=None: resume is inert
+    without a run dir and must NOT trip the segmented-dispatch guard
+    (round-4 advisor finding); with a run_dir set it must fail loudly."""
     from multimodalsignal_tpu.data.dataset import PackedCorpus
     from multimodalsignal_tpu.parallel.fold_sweep import run_fold_sweep
     from jax.sharding import Mesh
@@ -147,7 +151,7 @@ def test_dispatch_modes_equivalent():
         subjects=corpus.subjects,
         channels_to_use=("chest_ECG", "chest_EDA"),
         model=ModelConfig(cnn_out_channels=4, gru_hidden_size=4, gru_num_layers=1),
-        trainer=TrainerConfig(epochs=5, batch_size=8,
+        trainer=TrainerConfig(epochs=5, batch_size=8, resume=True,
                               early_stopping=EarlyStoppingConfig(patience=1)),
         sweep_segment_epochs=2,
     )
@@ -169,6 +173,20 @@ def test_dispatch_modes_equivalent():
     # The retired whole-sweep mode must fail loudly, not crash the runtime.
     with pytest.raises(ValueError, match="fused"):
         run_fold_sweep(corpus, fb, cfg, mesh, dispatch="fused")
+
+    # A LIVE resume (resume=True + run_dir + an existing sweep_resume
+    # checkpoint, possibly from a per_epoch run) is per_epoch-only; a fresh
+    # run dir with resume=True is inert and must work (first launch of a
+    # resumable job under segmented dispatch).
+    r_fresh = run_fold_sweep(corpus, fb, cfg, mesh, dispatch="segmented",
+                             run_dir=tmp_path)
+    np.testing.assert_array_equal(np.asarray(r_fresh.test_cm),
+                                  np.asarray(r_seg.test_cm))
+    from multimodalsignal_tpu.parallel.fold_sweep import _RESUME_STATE
+    (tmp_path / _RESUME_STATE).touch()
+    with pytest.raises(ValueError, match="per_epoch"):
+        run_fold_sweep(corpus, fb, cfg, mesh, dispatch="segmented",
+                       run_dir=tmp_path)
 
 
 def test_sweep_dropout_rng_impl_switch():
