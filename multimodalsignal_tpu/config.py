@@ -121,6 +121,13 @@ class TrainerConfig:
     lr_plateau_patience: int = 3
     lr_plateau_threshold: float = 1e-4
     use_class_weights: bool = False  # reference's branch is dead code (trainer.py:81)
+    # Shuffle training batches each epoch (reference main.py:112 uses
+    # DataLoader(shuffle=True)). False fixes the batch order to the dataset
+    # order — the controlled setting for composed A/B studies against the
+    # reference trainer, where torch's and JAX's shuffle streams cannot be
+    # made identical (tests/test_trainer_composed_ab.py). Serial trainer
+    # only; the sharded sweep always shuffles in-graph.
+    shuffle: bool = True
     # Reference reloads best weights only when early stop fired (trainer.py:185);
     # we always restore the best checkpoint unless this replicates the quirk.
     legacy_restore_only_on_early_stop: bool = False

@@ -295,6 +295,8 @@ class Trainer:
         val_idx, val_w = batch_indices(int(y_va.shape[0]), cfg.batch_size)
         val_idx, val_w = jnp.asarray(val_idx), jnp.asarray(val_w)
 
+        order_rng = rng_np if cfg.shuffle else None
+
         # Mid-run resume (no equivalent in the reference, SURVEY.md §5):
         # restore the full pytree and replay the RNG stream for determinism.
         start_epoch = 0
@@ -304,13 +306,13 @@ class Trainer:
             )
             self._log(f"Resumed from epoch {start_epoch}")
             for _ in range(start_epoch):
-                batch_indices(n, cfg.batch_size, self.steps_per_epoch, rng_np)
+                batch_indices(n, cfg.batch_size, self.steps_per_epoch, order_rng)
                 rng, _ = jax.random.split(rng)
 
         stopped = False
         for epoch in range(start_epoch, cfg.epochs):
             t_start = time.time()
-            idx, w = batch_indices(n, cfg.batch_size, self.steps_per_epoch, rng_np)
+            idx, w = batch_indices(n, cfg.batch_size, self.steps_per_epoch, order_rng)
             rng, epoch_rng = jax.random.split(rng)
             with jax.profiler.StepTraceAnnotation("train_epoch", step_num=epoch):
                 state, train_loss = self._train_epoch(
