@@ -52,6 +52,13 @@ FEATURE_NAMES = (
     "EMG_Amplitude_Mean",
 )
 
+# The sensors the extractors read (reference preprocess.py:82-122); the
+# offline feature target gathers exactly these (data/preprocess.py), and the
+# hybrid deployment pipeline (experiments/predict.py
+# recording_to_hybrid_windows, experiments/streaming.py) reads them from the
+# recording grid regardless of the model's channel subset.
+FEATURE_SENSOR_CHANNELS = ("chest_ECG", "chest_EDA", "chest_EMG", "chest_Resp")
+
 
 # --------------------------------------------------------------------------
 # ECG / HRV

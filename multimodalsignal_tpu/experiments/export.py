@@ -82,6 +82,12 @@ def export_predictor(predictor, out_path: Path | str,
     t = predictor.window_sec * predictor.target_fs
     (b,) = jexport.symbolic_shape("b")
     spec = jax.ShapeDtypeStruct((b, c, t), jnp.float32)
+    feature_names = list(getattr(predictor, "feature_names", ()) or ())
+    if getattr(predictor, "is_hybrid", False):
+        # Hybrid artifact: the exported callable takes the (raw, feat) pair
+        # the training batches used (reference trainer.py:130-146).
+        spec = (spec, jax.ShapeDtypeStruct((b, len(feature_names)),
+                                           jnp.float32))
     exported = jexport.export(jax.jit(infer), platforms=tuple(platforms))(spec)
     blob = exported.serialize()
 
@@ -91,6 +97,7 @@ def export_predictor(predictor, out_path: Path | str,
         "classification_mode": cfg.classification_mode,
         "class_names": list(CLASS_NAMES[cfg.classification_mode]),
         "channels": list(cfg.channels_to_use),
+        "feature_names": feature_names,  # non-empty iff hybrid
         "window_shape": [c, t],
         "window_sec": predictor.window_sec,
         "stride_sec": predictor.stride_sec,
@@ -115,6 +122,8 @@ class ExportedPredictor:
         self._exported = exported
         self.meta = meta
         self.class_names = tuple(meta["class_names"])
+        self.is_hybrid = bool(meta.get("feature_names"))
+        self.feature_names = tuple(meta.get("feature_names") or ())
 
     @classmethod
     def load(cls, path: Path | str) -> "ExportedPredictor":
@@ -129,24 +138,50 @@ class ExportedPredictor:
                 f"!= supported {ARTIFACT_VERSION}")
         return cls(jexport.deserialize(blob), meta)
 
-    def predict_windows(self, x: np.ndarray, batch_size: int | None = None
+    def predict_windows(self, x, batch_size: int | None = None
                         ) -> np.ndarray:
-        """[N, C, T] float32 -> probs [N, num_classes]. Symbolic batch: any
-        N executes without padding or recompilation per shape (batch_size is
-        accepted for Predictor interface compatibility and ignored)."""
-        x = np.asarray(x, np.float32)
+        """[N, C, T] float32 (or the hybrid ([N, C, T], [N, F]) pair) ->
+        probs [N, num_classes]. Symbolic batch: any N executes without
+        padding or recompilation per shape (batch_size is accepted for
+        Predictor interface compatibility and ignored)."""
         c, t = self.meta["window_shape"]
+        if self.is_hybrid:
+            if not isinstance(x, (tuple, list)) or len(x) != 2:
+                raise ValueError(
+                    "hybrid artifact expects (raw [N, C, T], feat [N, F])")
+            raw = np.asarray(x[0], np.float32)
+            feat = np.asarray(x[1], np.float32)
+            f = len(self.feature_names)
+            if raw.ndim != 3 or raw.shape[1] != c or raw.shape[2] != t:
+                raise ValueError(
+                    f"expected raw windows [N, {c}, {t}], got {list(raw.shape)}")
+            if feat.ndim != 2 or feat.shape != (raw.shape[0], f):
+                raise ValueError(
+                    f"expected features [{raw.shape[0]}, {f}], "
+                    f"got {list(feat.shape)}")
+            return np.asarray(self._exported.call((raw, feat)))
+        x = np.asarray(x, np.float32)
         if x.ndim != 3 or x.shape[1] != c or x.shape[2] != t:
             raise ValueError(
                 f"expected windows [N, {c}, {t}], got {list(x.shape)}")
         return np.asarray(self._exported.call(x))
 
-    def windows_from_recording(self, pkl_path) -> tuple[np.ndarray, np.ndarray]:
+    def windows_from_recording(self, pkl_path):
         """Raw WESAD pickle -> normalized windows, replaying the artifact's
-        recorded pipeline parameters (Predictor interface)."""
-        from multimodalsignal_tpu.experiments.predict import recording_to_windows
+        recorded pipeline parameters (Predictor interface); hybrid artifacts
+        get the (raw, feat) pair."""
+        from multimodalsignal_tpu.experiments.predict import (
+            recording_to_hybrid_windows,
+            recording_to_windows,
+        )
 
         m = self.meta
+        if self.is_hybrid:
+            return recording_to_hybrid_windows(
+                pkl_path, list(m["channels"]), m["normalization"],
+                list(self.feature_names), m["original_fs"], m["target_fs"],
+                m["window_sec"], m["stride_sec"],
+            )
         return recording_to_windows(
             pkl_path, list(m["channels"]), m["normalization"],
             m["original_fs"], m["target_fs"], m["window_sec"], m["stride_sec"],

@@ -75,22 +75,17 @@ class PredictionResult:
         }, indent=2)
 
 
-def recording_to_windows(
+def _recording_grid(
     pkl_path: Path | str,
     channels_to_use: list[str],
-    normalization: str,
-    original_fs: int = 700,
-    target_fs: int = 128,
-    window_sec: int = 60,
-    stride_sec: int = 10,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Raw WESAD pickle -> normalized [N, C, T] windows + start times (s).
+    original_fs: int,
+    target_fs: int,
+) -> tuple[np.ndarray, list[str]]:
+    """Raw WESAD pickle -> resampled channel grid [T', C_all] + its names.
 
-    The standalone serving pipeline: resample, slide windows over the whole
-    recording (no protocol file at inference time), normalize with the
-    recording's own statistics. Shared by `Predictor` (checkpoint serving)
-    and `export.ExportedPredictor` (artifact serving — its meta.json carries
-    exactly these parameters)."""
+    Always contains the full 8-channel chest block (so handcrafted features
+    can read their sensors even when the model uses a channel subset);
+    appends the wrist block only when a wrist channel is requested."""
     data = load_pkl(pkl_path)
     chest = chest_signals(data)
     cols = []
@@ -119,18 +114,12 @@ def recording_to_windows(
             block = _resample_wrist(wrist, target_fs, full.shape[0])
         full = np.concatenate([full, block], axis=1)
         names += list(WRIST_CHANNEL_NAMES)
+    return full, names
 
-    window_samples = window_sec * target_fs
-    stride_samples = stride_sec * target_fs
-    starts = window_starts(0, full.shape[0], window_samples, stride_samples)
-    ch_idx = [names.index(ch) for ch in channels_to_use]
-    win = sliding_windows(full[:, ch_idx].astype(np.float32), starts,
-                          window_samples)  # [N, T, C]
-    # Per-recording normalization = the training scheme's per-subject
-    # statistics (all windows; no labels exist at inference time).
-    y_dummy = np.ones(len(win), dtype=np.int64)
-    scheme = normalization
-    if scheme == "baseline":
+
+def _inference_norm_scheme(normalization: str) -> str:
+    """Map the training scheme to its inference-time equivalent."""
+    if normalization == "baseline":
         # Training stats came from Base-protocol windows only
         # (void/dataset.py:30-55); an unlabeled recording has no Base
         # segment, so the closest available statistics are all-window —
@@ -142,14 +131,141 @@ def recording_to_windows(
             "instead. Expect a shifted input distribution.",
             flush=True,
         )
-        scheme = "all"
+        return "all"
+    return normalization
+
+
+def recording_to_windows(
+    pkl_path: Path | str,
+    channels_to_use: list[str],
+    normalization: str,
+    original_fs: int = 700,
+    target_fs: int = 128,
+    window_sec: int = 60,
+    stride_sec: int = 10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Raw WESAD pickle -> normalized [N, C, T] windows + start times (s).
+
+    The standalone serving pipeline: resample, slide windows over the whole
+    recording (no protocol file at inference time), normalize with the
+    recording's own statistics. Shared by `Predictor` (checkpoint serving)
+    and `export.ExportedPredictor` (artifact serving — its meta.json carries
+    exactly these parameters)."""
+    full, names = _recording_grid(pkl_path, channels_to_use, original_fs,
+                                  target_fs)
+    window_samples = window_sec * target_fs
+    stride_samples = stride_sec * target_fs
+    starts = window_starts(0, full.shape[0], window_samples, stride_samples)
+    ch_idx = [names.index(ch) for ch in channels_to_use]
+    win = sliding_windows(full[:, ch_idx].astype(np.float32), starts,
+                          window_samples)  # [N, T, C]
+    # Per-recording normalization = the training scheme's per-subject
+    # statistics (all windows; no labels exist at inference time).
+    y_dummy = np.ones(len(win), dtype=np.int64)
+    scheme = _inference_norm_scheme(normalization)
     win = normalize_subject(win, y_dummy, list(channels_to_use), scheme)
     x = np.ascontiguousarray(win.transpose(0, 2, 1))  # [N, C, T]
     return x, starts / target_fs
 
 
+def recording_to_hybrid_windows(
+    pkl_path: Path | str,
+    channels_to_use: list[str],
+    normalization: str,
+    features_to_use: list[str] | None = None,
+    original_fs: int = 700,
+    target_fs: int = 128,
+    window_sec: int = 60,
+    stride_sec: int = 10,
+) -> tuple[tuple[np.ndarray, np.ndarray], np.ndarray]:
+    """Raw WESAD pickle -> ((raw [N, C, T], feat [N, F]), start times).
+
+    The hybrid deployment pipeline, mirroring training (data/preprocess.py
+    feature target + dataset.build_hybrid_dataset): handcrafted features are
+    extracted per window from the UNNORMALIZED resampled feature sensors
+    (chest ECG/EDA/EMG/Resp — always available in the chest grid regardless
+    of the model's channel subset), NaN groups zero-filled (reference
+    preprocess.py:211 fillna(0)), then z-scored with the recording's own
+    all-window statistics (normalize_features' 1e-3 epsilon). The raw stream
+    is windowed and normalized exactly like `recording_to_windows`. Both
+    streams share one window grid, so counts align by construction (the
+    raw-align padding the offline pipeline needs, preprocess.py:224-240,
+    is a no-op here)."""
+    from multimodalsignal_tpu.data.dataset import normalize_features
+    from multimodalsignal_tpu.data.features import (
+        FEATURE_NAMES,
+        FEATURE_SENSOR_CHANNELS,
+        extract_features_batch,
+    )
+
+    full, names = _recording_grid(pkl_path, channels_to_use, original_fs,
+                                  target_fs)
+    window_samples = window_sec * target_fs
+    stride_samples = stride_sec * target_fs
+    starts = window_starts(0, full.shape[0], window_samples, stride_samples)
+
+    ch_idx = [names.index(ch) for ch in channels_to_use]
+    win = sliding_windows(full[:, ch_idx].astype(np.float32), starts,
+                          window_samples)
+    y_dummy = np.ones(len(win), dtype=np.int64)
+    scheme = _inference_norm_scheme(normalization)
+    win = normalize_subject(win, y_dummy, list(channels_to_use), scheme)
+    x_raw = np.ascontiguousarray(win.transpose(0, 2, 1))  # [N, C, T]
+
+    # Feature stream: float64 unnormalized sensor windows, exactly like the
+    # offline feature target (preprocess.py gathers the 4 feature channels
+    # before any normalization).
+    channel_windows = {
+        ch: sliding_windows(full[:, names.index(ch)].astype(np.float64),
+                            starts, window_samples)
+        for ch in FEATURE_SENSOR_CHANNELS
+    }
+    feats = extract_features_batch(channel_windows, target_fs)
+    feats = np.nan_to_num(feats, nan=0.0, posinf=0.0, neginf=0.0)
+    if features_to_use:
+        idx = [FEATURE_NAMES.index(f) for f in features_to_use]
+        feats = feats[:, idx]
+    x_feat = normalize_features(feats, y_dummy, scheme)
+    return (x_raw, x_feat), starts / target_fs
+
+
+def _num_windows(x) -> int:
+    """Window count of a raw [N, C, T] batch or a hybrid (raw, feat) pair."""
+    return int((x[0] if isinstance(x, (tuple, list)) else x).shape[0])
+
+
+def _pad_batch(x, pad: int):
+    """Zero-pad the leading (window) axis of every leaf."""
+    return jax.tree_util.tree_map(
+        lambda a: np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)]),
+        x)
+
+
+def hybrid_feature_names(cfg: ExperimentConfig) -> tuple[str, ...]:
+    """The feature columns a hybrid_cnn_gru checkpoint expects, in order."""
+    from multimodalsignal_tpu.data.features import FEATURE_NAMES
+
+    return tuple(cfg.features_to_use) or FEATURE_NAMES
+
+
+def _init_sample(cfg: ExperimentConfig):
+    """Shape-only init input for checkpoint restore templates: a raw window
+    batch, or the (raw, feat) pair for hybrid checkpoints. Window length is
+    irrelevant to param shapes."""
+    raw = jnp.zeros((1, len(cfg.channels_to_use), 128 * 60), jnp.float32)
+    if cfg.model.name == "hybrid_cnn_gru":
+        return raw, jnp.zeros((1, len(hybrid_feature_names(cfg))), jnp.float32)
+    return raw
+
+
 class Predictor:
-    """Jitted windowed inference for one trained model."""
+    """Jitted windowed inference for one trained model.
+
+    Model-family aware: for `hybrid_cnn_gru` checkpoints (reference
+    void/dataset.py:72-198 / trainer.py:130-146 tuple batches) every window
+    batch is the pytree (x_raw [N, C, T], x_feat [N, F]) and
+    `windows_from_recording` extracts + normalizes both streams
+    (recording_to_hybrid_windows)."""
 
     def __init__(self, cfg: ExperimentConfig, state: TrainState,
                  original_fs: int = 700, target_fs: int = 128,
@@ -160,6 +276,8 @@ class Predictor:
         self.target_fs = target_fs
         self.window_sec = window_sec
         self.stride_sec = stride_sec
+        self.is_hybrid = cfg.model.name == "hybrid_cnn_gru"
+        self.feature_names = hybrid_feature_names(cfg) if self.is_hybrid else ()
         self.model = build_model(cfg.model, cfg.num_classes)
         self._predict = jax.jit(self._predict_fn)
 
@@ -182,8 +300,8 @@ class Predictor:
         tx = make_optimizer(cfg.trainer.learning_rate, cfg.trainer.weight_decay)
         # Template for restore: param shapes are T-independent, any window
         # length works for the init sample.
-        sample = jnp.zeros((1, len(cfg.channels_to_use), 128 * 60), jnp.float32)
-        template = init_train_state(model, jax.random.PRNGKey(0), sample, tx)
+        template = init_train_state(model, jax.random.PRNGKey(0),
+                                    _init_sample(cfg), tx)
         state = restore_state(checkpoint, template)
         meta = preprocess_meta or {}
         return cls(
@@ -210,26 +328,35 @@ class Predictor:
         )
 
     # -- inference ------------------------------------------------------------
-    def windows_from_recording(self, pkl_path: Path | str) -> tuple[np.ndarray, np.ndarray]:
-        """Raw WESAD pickle -> normalized [N, C, T] windows + start times."""
+    def windows_from_recording(self, pkl_path: Path | str):
+        """Raw WESAD pickle -> normalized windows + start times. Raw models
+        get [N, C, T]; hybrid models get the pytree ([N, C, T], [N, F])."""
+        if self.is_hybrid:
+            return recording_to_hybrid_windows(
+                pkl_path, list(self.cfg.channels_to_use),
+                self.cfg.normalization, list(self.feature_names),
+                self.original_fs, self.target_fs, self.window_sec,
+                self.stride_sec,
+            )
         return recording_to_windows(
             pkl_path, list(self.cfg.channels_to_use), self.cfg.normalization,
             self.original_fs, self.target_fs, self.window_sec,
             self.stride_sec,
         )
 
-    def predict_windows(self, x: np.ndarray, batch_size: int = 64) -> np.ndarray:
-        """[N, C, T] -> probs [N, num_classes] (fixed-size padded batches so
-        one compiled program serves any recording length)."""
-        n = x.shape[0]
+    def predict_windows(self, x, batch_size: int = 64) -> np.ndarray:
+        """[N, C, T] (or the hybrid pytree) -> probs [N, num_classes]
+        (fixed-size padded batches so one compiled program serves any
+        recording length)."""
+        n = _num_windows(x)
         probs = []
         for i in range(0, n, batch_size):
-            xb = x[i : i + batch_size]
-            pad = batch_size - xb.shape[0]
+            xb = jax.tree_util.tree_map(lambda a: a[i : i + batch_size], x)
+            pad = batch_size - _num_windows(xb)
             if pad:
-                xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
+                xb = _pad_batch(xb, pad)
             p = self._predict(self.state.params, self.state.batch_stats,
-                              jnp.asarray(xb))
+                              jax.tree_util.tree_map(jnp.asarray, xb))
             probs.append(np.asarray(p)[: batch_size - pad])
         return np.concatenate(probs, axis=0)
 
@@ -293,9 +420,8 @@ class EnsemblePredictor(Predictor):
         model = build_model(cfg.model, cfg.num_classes)
         tx = make_optimizer(cfg.trainer.learning_rate,
                             cfg.trainer.weight_decay)
-        sample = jnp.zeros((1, len(cfg.channels_to_use), 128 * 60),
-                           jnp.float32)
-        template = init_train_state(model, jax.random.PRNGKey(0), sample, tx)
+        template = init_train_state(model, jax.random.PRNGKey(0),
+                                    _init_sample(cfg), tx)
         states = jax.tree_util.tree_map(
             lambda *leaves: np.stack(leaves),
             *(restore_state(c, template) for c in ckpts))

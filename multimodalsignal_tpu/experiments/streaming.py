@@ -31,6 +31,16 @@ streaming, not implementation shortcuts):
   (tested window-for-window).
 * Events fire in order, one per stride, as soon as a window's last sample
   arrives (plus calibration latency for the earliest windows).
+* **Hybrid checkpoints** (`hybrid_cnn_gru`) stream too: handcrafted features
+  are per-window and causal (each reads only its own 60 s of signal —
+  reference preprocess.py:77-123), so every completed window's features are
+  extracted live from the UNNORMALIZED feed. The feed must then carry the
+  model channels PLUS the four feature sensors (`sc.feed_channels` gives the
+  exact column order); feature z-score statistics are frozen on the windows
+  fully contained in the calibration span (the batch path uses all-recording
+  feature stats, which are not causally computable — the same stats-source
+  divergence the raw stream already documents), so `calib_sec` must cover at
+  least one full window.
 """
 
 from __future__ import annotations
@@ -66,6 +76,32 @@ class StreamingClassifier:
                  input_fs: int | None = None):
         if calib_sec <= 0:
             raise ValueError("calib_sec must be positive")
+        self.predictor = predictor
+        self.channel_names = list(channel_names)
+        self.is_hybrid = bool(getattr(predictor, "is_hybrid", False))
+        # Hybrid feeds must carry the feature sensors alongside the model
+        # channels; feed_channels is the required chunk column order (for a
+        # raw model it equals channel_names).
+        if self.is_hybrid:
+            from multimodalsignal_tpu.data.features import (
+                FEATURE_SENSOR_CHANNELS,
+            )
+
+            self.feature_names = tuple(predictor.feature_names)
+            self.feed_channels = self.channel_names + [
+                s for s in FEATURE_SENSOR_CHANNELS
+                if s not in self.channel_names]
+            self._feat_cols = [self.feed_channels.index(s)
+                               for s in FEATURE_SENSOR_CHANNELS]
+            if calib_sec < window_sec:
+                raise ValueError(
+                    f"hybrid streaming needs calib_sec >= window_sec "
+                    f"({window_sec}) to freeze feature statistics on at "
+                    f"least one complete window; got {calib_sec}")
+        else:
+            self.feature_names = ()
+            self.feed_channels = self.channel_names
+            self._feat_cols = []
         self.input_fs = int(input_fs) if input_fs else int(target_fs)
         if self.input_fs != target_fs:
             from multimodalsignal_tpu.data.resample import (
@@ -73,11 +109,10 @@ class StreamingClassifier:
             )
 
             self._resampler = StreamingPolyResampler(
-                self.input_fs, target_fs, num_channels=len(channel_names))
+                self.input_fs, target_fs,
+                num_channels=len(self.feed_channels))
         else:
             self._resampler = None
-        self.predictor = predictor
-        self.channel_names = list(channel_names)
         self.target_fs = target_fs
         self.window_samples = window_sec * target_fs
         self.stride_samples = stride_sec * target_fs
@@ -91,6 +126,7 @@ class StreamingClassifier:
         self._buf_offset = 0        # absolute sample index of _buf[0]
         self._next_window = 0       # next window index to classify
         self.stats: tuple[np.ndarray, np.ndarray] | None = None
+        self.feat_stats: tuple[np.ndarray, np.ndarray] | None = None
 
     @classmethod
     def for_predictor(cls, predictor, calib_sec: float = 120.0,
@@ -118,10 +154,10 @@ class StreamingClassifier:
         resampled to the model rate first); returns the windows completed by
         this chunk (empty while the calibration span is still filling)."""
         chunk = np.atleast_2d(np.asarray(chunk, dtype=np.float32))
-        if chunk.shape[1] != len(self.channel_names):
+        if chunk.shape[1] != len(self.feed_channels):
             raise ValueError(
                 f"chunk has {chunk.shape[1]} channels, stream expects "
-                f"{len(self.channel_names)} ({self.channel_names})")
+                f"{len(self.feed_channels)} ({self.feed_channels})")
         if not np.isfinite(chunk).all():
             raise ValueError("chunk contains NaN/Inf")
         if self._resampler is not None:
@@ -135,10 +171,15 @@ class StreamingClassifier:
             if self._n < self.calib_samples:
                 return []
             # Calibration closes: freeze per-channel stats on exactly the
-            # calibration span (deterministic w.r.t. chunking).
+            # calibration span (deterministic w.r.t. chunking). For hybrid
+            # feeds only the model channels (the leading columns) are
+            # z-scored; the trailing feature-sensor columns stay raw.
             self._consolidate()
+            calib = self._buf[: self.calib_samples]
             self.stats = channel_norm_stats(
-                self._buf[: self.calib_samples], self.channel_names)
+                calib[:, : len(self.channel_names)], self.channel_names)
+            if self.is_hybrid:
+                self.feat_stats = self._freeze_feature_stats(calib)
         return self._classify_ready()
 
     def flush(self) -> list[StreamEvent]:
@@ -149,6 +190,35 @@ class StreamingClassifier:
         return self._classify_ready()
 
     # -- internals ---------------------------------------------------------------
+    def _window_features(self, windows: np.ndarray) -> np.ndarray:
+        """Unnormalized feed windows [k, T, C_feed] -> raw feature matrix
+        [k, F_selected] (the offline feature target's math: float64 sensor
+        windows, NaN groups zero-filled, reference preprocess.py:211)."""
+        from multimodalsignal_tpu.data.features import (
+            FEATURE_NAMES,
+            FEATURE_SENSOR_CHANNELS,
+            extract_features_batch,
+        )
+
+        channel_windows = {
+            s: np.ascontiguousarray(windows[:, :, c].astype(np.float64))
+            for s, c in zip(FEATURE_SENSOR_CHANNELS, self._feat_cols)
+        }
+        feats = extract_features_batch(channel_windows, self.target_fs)
+        feats = np.nan_to_num(feats, nan=0.0, posinf=0.0, neginf=0.0)
+        idx = [FEATURE_NAMES.index(f) for f in self.feature_names]
+        return feats[:, idx]
+
+    def _freeze_feature_stats(self, calib: np.ndarray):
+        """Feature z-score stats from the windows fully contained in the
+        calibration span (normalize_features' 1e-3 epsilon — the batch path's
+        all-recording stats are not causally computable)."""
+        starts = np.arange(0, len(calib) - self.window_samples + 1,
+                           self.stride_samples)
+        wins = np.stack([calib[s : s + self.window_samples] for s in starts])
+        feats = self._window_features(wins).astype(np.float64)
+        return feats.mean(axis=0), feats.std(axis=0) + 1e-3
+
     def _consolidate(self) -> None:
         parts = ([self._buf] if self._buf is not None else []) + self._chunks
         self._buf = np.concatenate(parts) if len(parts) > 1 else parts[0]
@@ -177,9 +247,15 @@ class StreamingClassifier:
             self._buf = self._buf[cut:].copy()
             self._buf_offset += cut
         mean, std = self.stats
-        win = apply_channel_norm(np.stack(windows), self.channel_names,
-                                 mean, std)           # [k, T, C]
+        stacked = np.stack(windows)                       # [k, T, C_feed]
+        win = apply_channel_norm(stacked[:, :, : len(self.channel_names)],
+                                 self.channel_names, mean, std)  # [k, T, C]
         x = np.ascontiguousarray(win.transpose(0, 2, 1))  # [k, C, T]
+        if self.is_hybrid:
+            f_mean, f_std = self.feat_stats
+            feats = self._window_features(stacked)
+            x_feat = ((feats - f_mean) / f_std).astype(np.float32)
+            x = (x, x_feat)
         probs = self.predictor.predict_windows(x, self.batch_size)
         for j, p in enumerate(probs):
             idx = first + j

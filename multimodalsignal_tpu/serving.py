@@ -23,9 +23,16 @@ Endpoints (all JSON):
   POST /v1/predict
       Body: {"windows": [[[...T floats...] x C] x N]}           (nested lists)
          or {"windows_b64": "<base64 of a .npy float32 [N, C, T]>"}
+      Hybrid backends (model hybrid_cnn_gru) additionally require the
+      parallel feature stream: {"features": [[...F floats...] x N]} or
+      {"features_b64": ...} — one row per window, columns per the model
+      card's feature_names, normalized the way training features were.
       Reply: {"class_names", "labels", "probs", "num_windows", "latency_ms"}
       Windows must already be normalized the way training data was (the
       caller owns windowing when using this endpoint directly).
+      Requests over --max-request-windows are refused with 413; clearly
+      oversized bodies are refused from Content-Length without being
+      materialized.
 
   POST /v1/predict_recording
       Body: {"pkl_path": "/path/on/server/S16.pkl"}
@@ -65,6 +72,20 @@ from pathlib import Path
 import numpy as np
 
 from multimodalsignal_tpu.experiments.predict import CLASS_NAMES, Predictor
+
+
+def _batch_windows(x) -> int:
+    """Window count of a raw [N, C, T] batch or a hybrid (raw, feat) pair."""
+    return len(x[0]) if isinstance(x, (tuple, list)) else len(x)
+
+
+def _concat_batches(parts):
+    """Concatenate request batches along the window axis, leafwise for
+    hybrid (raw, feat) pairs."""
+    if isinstance(parts[0], (tuple, list)):
+        return tuple(np.concatenate([p[i] for p in parts])
+                     for i in range(len(parts[0])))
+    return np.concatenate(parts)
 
 
 class MicroBatcher:
@@ -123,7 +144,7 @@ class MicroBatcher:
             if first is None:  # close() sentinel
                 return
             batch = [first]
-            n = len(batch[0][0])
+            n = _batch_windows(batch[0][0])
             deadline = time.perf_counter() + self.max_wait_s
             while n < self.max_windows:
                 remaining = deadline - time.perf_counter()
@@ -137,24 +158,26 @@ class MicroBatcher:
                     stop = True
                     break
                 batch.append(item)
-                n += len(item[0])
+                n += _batch_windows(item[0])
             try:
                 # Concatenation stays INSIDE the try: a MemoryError on a
                 # pathological batch must fan out to the waiting requests,
                 # not kill the lone worker thread (which would wedge every
-                # future request in done.wait()).
+                # future request in done.wait()). Hybrid requests carry the
+                # (raw, feat) pair; concatenate leafwise.
                 xs = (batch[0][0] if len(batch) == 1
-                      else np.concatenate([b[0] for b in batch]))
+                      else _concat_batches([b[0] for b in batch]))
                 svc = self.service
                 with svc._lock:
                     probs = svc.predictor.predict_windows(xs, svc.batch_size)
                     svc.requests_served += len(batch)
-                    svc.windows_served += len(xs)
+                    svc.windows_served += _batch_windows(xs)
                     self.batches_run += 1
                 ofs = 0
                 for bx, done, slot in batch:
-                    slot["probs"] = probs[ofs : ofs + len(bx)]
-                    ofs += len(bx)
+                    k = _batch_windows(bx)
+                    slot["probs"] = probs[ofs : ofs + k]
+                    ofs += k
                     done.set()
             except Exception as exc:  # fan the failure out, keep serving
                 for _, done, slot in batch:
@@ -168,16 +191,27 @@ class PredictionService:
     `export.ExportedPredictor` (a single .mms artifact — no model code)."""
 
     def __init__(self, predictor, batch_size: int = 64,
-                 micro_batch_ms: float = 2.0):
+                 micro_batch_ms: float = 2.0,
+                 max_request_windows: int = 256):
         self.predictor = predictor
         self.batch_size = batch_size
         self._lock = threading.Lock()  # single-flight device execution
         self.requests_served = 0
         self.windows_served = 0
         self.micro_batch_ms = micro_batch_ms
+        # Request-size bound: /v1/predict rejects more than this many windows
+        # with 413. Enforced twice — on Content-Length BEFORE the body is
+        # read (max_body_bytes, so a pathological request never allocates),
+        # and on the decoded window count (b64 payloads compress).
+        self.max_request_windows = max_request_windows
         self._batcher = (MicroBatcher(self, micro_batch_ms / 1e3)
                          if micro_batch_ms > 0 else None)
         meta = getattr(predictor, "meta", None)
+        # Hybrid (raw+feature) backends declare their feature columns; the
+        # /v1/predict contract then requires a "features"/"features_b64"
+        # stream alongside "windows".
+        self.is_hybrid = bool(getattr(predictor, "is_hybrid", False))
+        self.feature_names = list(getattr(predictor, "feature_names", ()) or ())
         if meta is not None:  # artifact backend
             self.model_name = meta["model"]
             self.classification_mode = meta["classification_mode"]
@@ -201,6 +235,15 @@ class PredictionService:
             self.backend += f"-ensemble[{len(ensemble_folds)}]"
         self.class_names = CLASS_NAMES[self.classification_mode]
 
+    @property
+    def max_body_bytes(self) -> int:
+        """Upper bound on a plausible max_request_windows-sized body: JSON
+        floats run ~24 bytes each incl. separators; anything larger is
+        rejected from Content-Length alone, before the body is read."""
+        c, t = self.window_shape
+        per_window = c * t * 24 + len(self.feature_names) * 24
+        return max(1, self.max_request_windows) * per_window + 64 * 1024
+
     # -- model card -----------------------------------------------------------
     def health(self) -> dict:
         import jax
@@ -213,10 +256,12 @@ class PredictionService:
             "class_names": list(self.class_names),
             "channels": self.channels,
             "window_shape": list(self.window_shape),
+            "feature_names": self.feature_names,  # non-empty iff hybrid
             "normalization": self.normalization,
             "platform": jax.devices()[0].platform,
             "batch_size": self.batch_size,
             "micro_batch_ms": self.micro_batch_ms,
+            "max_request_windows": self.max_request_windows,
             "batches_run": (self._batcher.batches_run
                             if self._batcher else self.requests_served),
             "requests_served": self.requests_served,
@@ -248,13 +293,13 @@ class PredictionService:
                 # Counter updates stay inside the lock: ThreadingHTTPServer
                 # runs handlers concurrently and += is not atomic.
                 self.requests_served += 1
-                self.windows_served += len(x)
+                self.windows_served += _batch_windows(x)
         latency_ms = (time.perf_counter() - t0) * 1e3
         return {
             "class_names": list(self.class_names),
             "labels": [self.class_names[int(i)] for i in probs.argmax(axis=-1)],
             "probs": [[round(float(p), 6) for p in row] for row in probs],
-            "num_windows": int(len(x)),
+            "num_windows": int(_batch_windows(x)),
             "latency_ms": round(latency_ms, 2),
         }
 
@@ -269,7 +314,7 @@ class PredictionService:
         with self._lock:
             probs = self.predictor.predict_windows(x, self.batch_size)
             self.requests_served += 1
-            self.windows_served += len(x)
+            self.windows_served += _batch_windows(x)
         latency_ms = (time.perf_counter() - t0) * 1e3
         labels = probs.argmax(axis=-1)
         counts = np.bincount(labels, minlength=len(self.class_names))
@@ -287,19 +332,24 @@ class PredictionService:
         }
 
     # -- input decoding ---------------------------------------------------------
-    def _decode_windows(self, payload: dict) -> np.ndarray:
-        if "windows_b64" in payload:
+    @staticmethod
+    def _decode_array(payload: dict, key: str, what: str) -> np.ndarray | None:
+        if f"{key}_b64" in payload:
             try:
-                raw = base64.b64decode(payload["windows_b64"])
-                x = np.load(io.BytesIO(raw), allow_pickle=False)
+                raw = base64.b64decode(payload[f"{key}_b64"])
+                return np.load(io.BytesIO(raw), allow_pickle=False)
             except Exception as exc:
-                raise ServingError(400, f"windows_b64 is not a valid .npy: {exc}")
-        elif "windows" in payload:
+                raise ServingError(400, f"{key}_b64 is not a valid .npy: {exc}")
+        if key in payload:
             try:
-                x = np.asarray(payload["windows"], dtype=np.float32)
+                return np.asarray(payload[key], dtype=np.float32)
             except (TypeError, ValueError) as exc:
-                raise ServingError(400, f"windows is not numeric [N,C,T]: {exc}")
-        else:
+                raise ServingError(400, f"{key} is not numeric {what}: {exc}")
+        return None
+
+    def _decode_windows(self, payload: dict):
+        x = self._decode_array(payload, "windows", "[N,C,T]")
+        if x is None:
             raise ServingError(400, "body must contain 'windows' or 'windows_b64'")
         x = np.asarray(x, dtype=np.float32)
         c, t = self.window_shape
@@ -311,9 +361,37 @@ class PredictionService:
                      f"(channels {self.channels}), got {list(x.shape)}")
         if len(x) == 0:
             raise ServingError(400, "empty windows batch")
+        if len(x) > self.max_request_windows:
+            raise ServingError(
+                413, f"request carries {len(x)} windows; the limit is "
+                     f"{self.max_request_windows} (--max-request-windows). "
+                     f"Split the batch across requests.")
         if not np.isfinite(x).all():
             raise ServingError(400, "windows contain NaN/Inf")
-        return x
+        if not self.is_hybrid:
+            return x
+        # Hybrid backend: a parallel feature stream, one row per window,
+        # normalized the way training features were (the caller owns feature
+        # extraction when hitting /v1/predict directly, exactly like it owns
+        # window normalization; /v1/predict_recording computes both streams
+        # server-side).
+        feat = self._decode_array(payload, "features", "[N,F]")
+        if feat is None:
+            raise ServingError(
+                400, "hybrid model: body must also contain 'features' or "
+                     f"'features_b64' ([N, {len(self.feature_names)}] rows "
+                     f"for {self.feature_names})")
+        feat = np.asarray(feat, dtype=np.float32)
+        if feat.ndim == 1:  # single window convenience
+            feat = feat[None]
+        f = len(self.feature_names)
+        if feat.ndim != 2 or feat.shape != (len(x), f):
+            raise ServingError(
+                400, f"expected features of shape [{len(x)}, {f}] "
+                     f"({self.feature_names}), got {list(feat.shape)}")
+        if not np.isfinite(feat).all():
+            raise ServingError(400, "features contain NaN/Inf")
+        return x, feat
 
 
 class ServingError(Exception):
@@ -354,6 +432,24 @@ def make_handler(service: PredictionService):
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                # Reject oversized bodies from the header alone — the bytes
+                # are drained in small discarded chunks (bounded memory, so
+                # the client can finish sending and read the reply) but the
+                # body is never materialized and never JSON-parsed.
+                if (self.path == "/v1/predict"
+                        and length > service.max_body_bytes):
+                    remaining = length
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(remaining, 1 << 16))
+                        if not chunk:
+                            break
+                        remaining -= len(chunk)
+                    self._reply(413, {
+                        "error": f"request body {length} bytes exceeds "
+                                 f"{service.max_body_bytes} "
+                                 f"(max {service.max_request_windows} "
+                                 f"windows per request)"})
+                    return
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 if not isinstance(payload, dict):
                     raise ServingError(400, "body must be a JSON object")
@@ -395,6 +491,10 @@ def main(argv=None) -> None:
                    help="coalesce concurrent /v1/predict requests arriving "
                         "within this window into one padded device batch "
                         "(0 disables micro-batching)")
+    p.add_argument("--max-request-windows", type=int, default=256,
+                   help="reject /v1/predict requests carrying more windows "
+                        "than this with 413 (oversized bodies are refused "
+                        "from Content-Length, before any allocation)")
     args = p.parse_args(argv)
 
     if sum(map(bool, (args.artifact, args.run_dir,
@@ -414,11 +514,16 @@ def main(argv=None) -> None:
     else:
         p.error("provide --artifact, --run-dir, or --checkpoint with --config")
     service = PredictionService(predictor, batch_size=args.batch_size,
-                                micro_batch_ms=args.micro_batch_ms)
+                                micro_batch_ms=args.micro_batch_ms,
+                                max_request_windows=args.max_request_windows)
     # Compile + warm the batched forward before accepting traffic, so the
     # first request does not pay the jit compile.
     warm = np.zeros((1,) + tuple(service.window_shape), np.float32)
-    service.predict_windows({"windows": warm.tolist()})
+    payload = {"windows": warm.tolist()}
+    if service.is_hybrid:
+        payload["features"] = np.zeros(
+            (1, len(service.feature_names)), np.float32).tolist()
+    service.predict_windows(payload)
     service.requests_served = 0
     service.windows_served = 0
     if service._batcher is not None:

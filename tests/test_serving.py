@@ -316,3 +316,43 @@ def test_micro_batching_close_releases_worker(service):
     out = svc.predict_windows(
         {"windows": np.zeros((1, C, T), np.float32).tolist()})
     assert len(out["probs"]) == 1
+
+
+def test_request_window_bound_413(service):
+    """Oversized /v1/predict requests are refused with 413 — from
+    Content-Length alone for verbose bodies (never read into memory), and
+    from the decoded window count for compact b64 payloads."""
+    svc = PredictionService(service.predictor, batch_size=8,
+                            micro_batch_ms=0.0, max_request_windows=1)
+    server = make_server(svc, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        rng = np.random.default_rng(0)
+        x4 = rng.standard_normal((4, C, T)).astype(np.float32)
+        # Verbose JSON body for 4 random-float windows exceeds
+        # max_body_bytes: the handler answers 413 off the header without
+        # reading the body.
+        assert len(json.dumps({"windows": x4.tolist()})) > svc.max_body_bytes
+        code, body = _post_err(url + "/v1/predict", {"windows": x4.tolist()})
+        assert code == 413 and "bytes" in body["error"]
+
+        # Compact b64 body passes the header gate but carries 2 windows:
+        # rejected on the decoded count.
+        buf = io.BytesIO()
+        np.save(buf, x4[:2])
+        payload = {"windows_b64": base64.b64encode(buf.getvalue()).decode()}
+        assert len(json.dumps(payload)) <= svc.max_body_bytes
+        code, body = _post_err(url + "/v1/predict", payload)
+        assert code == 413 and "max-request-windows" in body["error"]
+
+        # At the limit still serves.
+        code, body = _post(url + "/v1/predict",
+                           {"windows": x4[:1].tolist()})
+        assert code == 200 and body["num_windows"] == 1
+    finally:
+        server.shutdown()
+        server.server_close()
+        thread.join()
+        svc.close()
