@@ -82,16 +82,19 @@ def run_hierarchical_sharded(
             all_channel_names, mode, base.normalization,
         )
 
-    print("=" * 80)
-    print("Sharded hierarchical experiment: 2 fold sweeps + composed eval")
-    print("=" * 80)
+    if multihost.is_primary():
+        print("=" * 80)
+        print("Sharded hierarchical experiment: 2 fold sweeps + composed eval")
+        print("=" * 80)
 
     def sweep(channels, mode, model_cfg, tag):
         corpus = stage(channels, mode)
         mesh, padded = make_fold_mesh(len(corpus.subjects), devices)
         fb = build_fold_batch(corpus, list(base.subjects), base.val_fraction,
                               base.seed, pad_folds_to=padded)
-        print(f"\n--- Sweep {tag}: mode={mode}, channels={list(channels)} ---")
+        if multihost.is_primary():
+            print(f"\n--- Sweep {tag}: mode={mode}, "
+                  f"channels={list(channels)} ---")
         point_cfg = dataclasses.replace(
             base, channels_to_use=tuple(channels), classification_mode=mode,
             num_classes=2, model=model_cfg,
@@ -176,26 +179,32 @@ def run_hierarchical_sharded(
     # layout (fold_test_on_S*/model_m{1,2}/best_model.msgpack, experiments/
     # hierarchical.py via Trainer) so predict.HierarchicalPredictor.from_run
     # deploys sharded runs too. One bulk device->host transfer per stage.
-    host = jax.device_get({
-        "p1": m1_result.final_params, "b1": m1_result.final_batch_stats,
-        "p2": m2_result.final_params, "b2": m2_result.final_batch_stats,
-    })
-    from concurrent.futures import ThreadPoolExecutor
+    # Primary-only (multi-host convention, parallel/multihost.py): the
+    # SweepResult states are already gathered host numpy on every process,
+    # so non-primary processes skip the transfer and the writes entirely.
+    if multihost.is_primary():
+        host = jax.device_get({
+            "p1": m1_result.final_params, "b1": m1_result.final_batch_stats,
+            "p2": m2_result.final_params, "b2": m2_result.final_batch_stats,
+        })
+        from concurrent.futures import ThreadPoolExecutor
 
-    def export_fold(i_subject):
-        i, subject = i_subject
-        fold_dir = run_output_dir / f"fold_test_on_{subject}"
-        _export_fold_checkpoint(fold_dir / "model_m1", host["p1"], host["b1"],
-                                i, m1_cfg)
-        _export_fold_checkpoint(fold_dir / "model_m2", host["p2"], host["b2"],
-                                i, m2_cfg)
+        def export_fold(i_subject):
+            i, subject = i_subject
+            fold_dir = run_output_dir / f"fold_test_on_{subject}"
+            _export_fold_checkpoint(fold_dir / "model_m1", host["p1"],
+                                    host["b1"], i, m1_cfg)
+            _export_fold_checkpoint(fold_dir / "model_m2", host["p2"],
+                                    host["b2"], i, m2_cfg)
 
-    with ThreadPoolExecutor(max_workers=8) as ex:
-        list(ex.map(export_fold, enumerate(fb_u.test_subjects)))
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(export_fold, enumerate(fb_u.test_subjects)))
 
     summary = _write_summary_from_cms(run_output_dir, results, all_preds_cm)
     summary["sweep_wall_s"] = time.time() - t0
-    print(f"\nHierarchical sharded wall-clock: {summary['sweep_wall_s']:.2f}s")
+    if multihost.is_primary():
+        print(f"\nHierarchical sharded wall-clock: "
+              f"{summary['sweep_wall_s']:.2f}s")
     return results, summary
 
 
