@@ -11,6 +11,33 @@ import time
 from pathlib import Path
 
 
+def host_cpu_fingerprint() -> str:
+    """Short digest of the host CPU's feature set.
+
+    XLA:CPU cache entries embed AOT machine code compiled for the build
+    host's exact features; this environment's home dir survives host
+    migrations, so a cache written on a wider-featured machine would load
+    with "could lead to SIGILL" warnings on a narrower one. Partitioning
+    CPU-backend caches by this fingerprint makes stale-host entries
+    unreachable instead of trusted. (TPU executables target the chip, not
+    the host — their cache must NOT be partitioned this way, or every host
+    migration would re-pay the ~10-minute remote compile.)"""
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+            else:
+                feats = platform.processor()
+    except OSError:
+        feats = platform.processor()
+    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(cache_dir: Path | str | None = None) -> None:
     """Turn on JAX's persistent XLA compilation cache.
 
@@ -19,17 +46,22 @@ def enable_compilation_cache(cache_dir: Path | str | None = None) -> None:
     cache, later PROCESSES (ablation grid points, resumed runs, bench reruns)
     reload the serialized executable in seconds instead of recompiling.
     Called by every CLI entry point; honors an explicit
-    JAX_COMPILATION_CACHE_DIR.
+    JAX_COMPILATION_CACHE_DIR. On the CPU backend the cache is partitioned
+    per host-CPU fingerprint (see host_cpu_fingerprint).
     """
     import jax
 
-    path = str(
+    path = Path(
         cache_dir
         or os.environ.get("JAX_COMPILATION_CACHE_DIR")
         or Path.home() / ".cache" / "multimodalsignal_tpu" / "xla_cache"
     )
-    Path(path).mkdir(parents=True, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", path)
+    # default_backend() initializes the backend — fine at CLI-entry time
+    # (the platform choice is already fixed by env/config by then).
+    if jax.default_backend() == "cpu":
+        path = path / f"cpu_{host_cpu_fingerprint()}"
+    path.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(path))
     # Default thresholds skip small-but-slow-to-compile entries; cache all.
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

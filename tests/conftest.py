@@ -46,25 +46,12 @@ if os.environ.get("MMS_TEST_COMPILE_CACHE", "1") != "0":
     # this environment's home dir survives host migrations — a cache written
     # on a wider-featured machine loads with "could lead to SIGILL" warnings
     # on a narrower one. A per-fingerprint subdir makes stale-host entries
-    # unreachable instead of trusted.
-    import hashlib
-    import platform
-
-    def _cpu_fingerprint() -> str:
-        try:
-            with open("/proc/cpuinfo") as f:
-                for line in f:
-                    if line.startswith("flags"):
-                        feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                        break
-                else:
-                    feats = platform.processor()
-        except OSError:
-            feats = platform.processor()
-        return hashlib.sha256(feats.encode()).hexdigest()[:12]
+    # unreachable instead of trusted. (Same scheme as the CLI entry points,
+    # utils/run.py enable_compilation_cache.)
+    from multimodalsignal_tpu.utils.run import host_cpu_fingerprint
 
     _cache = os.path.expanduser(
-        f"~/.cache/multimodalsignal_tpu/xla_cache_tests/{_cpu_fingerprint()}")
+        f"~/.cache/multimodalsignal_tpu/xla_cache_tests/{host_cpu_fingerprint()}")
     os.makedirs(_cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
