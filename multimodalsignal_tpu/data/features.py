@@ -137,7 +137,23 @@ def hrv_features(ecg: np.ndarray, fs: float, filt: np.ndarray | None = None) -> 
 
 
 def _rr_band_powers(rpeaks: np.ndarray, rr_ms: np.ndarray, fs: float) -> tuple[float, float]:
-    """LF (0.04-0.15 Hz) and HF (0.15-0.4 Hz) power of the RR tachogram (ms^2)."""
+    """LF (0.04-0.15 Hz) and HF (0.15-0.4 Hz) power of the RR tachogram (ms^2).
+
+    The beat-domain tachogram is resampled onto a uniform 4 Hz grid with
+    MONOTONE CUBIC (PCHIP) interpolation — the interpolant family
+    neurokit2's hrv_frequency uses — before the Welch PSD. Linear
+    interpolation (the previous choice) low-passes the modulation by
+    sinc^2(f*RR) in amplitude: at 0.3 Hz on a 75 bpm tachogram that is a
+    ~32% HF power loss and a systematic LF/HF overestimate. PCHIP halves
+    it (~16% at 0.3 Hz, ~0.6% at 0.1 Hz — measured factors pinned in
+    tests/test_features.py); the residual is inherent to interpolating a
+    ~1.25 Hz beat-sampled process and is shared by neurokit2's own
+    estimator, whose PCHIP curve through the same beats is identical
+    regardless of its denser evaluation grid (delta table:
+    benchmarks/BENCHMARK.md "neurokit2-formula oracle", fixture
+    benchmarks/golden/nk_hrv_oracle.json)."""
+    from scipy.interpolate import PchipInterpolator
+
     # Times of each RR interval = time of the later beat.
     t = rpeaks[1:] / fs
     if len(t) != len(rr_ms):
@@ -146,7 +162,7 @@ def _rr_band_powers(rpeaks: np.ndarray, rr_ms: np.ndarray, fs: float) -> tuple[f
     t_uniform = np.arange(t[0], t[-1], 1.0 / interp_fs)
     if len(t_uniform) < 16:
         return np.nan, np.nan
-    rr_uniform = np.interp(t_uniform, t, rr_ms)
+    rr_uniform = PchipInterpolator(t, rr_ms)(t_uniform)
     rr_uniform = rr_uniform - rr_uniform.mean()
     nperseg = min(len(rr_uniform), 256)
     freqs, psd = sps.welch(rr_uniform, fs=interp_fs, nperseg=nperseg)
