@@ -126,14 +126,20 @@ class BiGRU(nn.Module):
                 params["fwd"], params["bwd"],
             )
             xg_f = out @ wif.T + bif  # [B, T, 3H] one big matmul per direction
+            xg_b = out @ wib.T + bib
             if self.last_only and layer == self.num_layers - 1:
                 # Final layer under a last-timestep readout: backward
                 # direction = ONE cell step (see class docstring); forward
-                # still needs the full walk for h at T-1. Project only the
-                # last step's input gates — a [B, in] x [in, 3H] matmul, not
-                # the full-T projection (don't rely on XLA sinking the slice).
-                xg_b_last = out[:, -1, :] @ wib.T + bib
-                y_b_last = gru_cell(xg_b_last, whb, bhb, h0)
+                # still needs the full walk for h at T-1. Keep the FULL-T
+                # backward projection and slice its last step: projecting
+                # only out[:, -1] looks cheaper but measures 1.3% slower
+                # end-to-end (580.0 vs 587.5 steps/s, 12x500-step probes,
+                # v5e) — the lone [B, in]x[in, 3H] matmul becomes its own
+                # tiny MXU dispatch, while the full-T form shares the fwd
+                # projection's operand stream and XLA DCEs the unused
+                # timesteps through the slice (benchmarks/RESULTS.md
+                # "The r03->r04 drift, explained").
+                y_b_last = gru_cell(xg_b[:, -1, :], whb, bhb, h0)
                 if impl in ("pallas", "pallas_db", "pallas_fused"):
                     from multimodalsignal_tpu.ops.gru_pallas import (
                         gru_sequence_pallas,
@@ -146,7 +152,6 @@ class BiGRU(nn.Module):
                 return jnp.concatenate(
                     [y_f[:, -1, :].astype(self.dtype),
                      y_b_last.astype(self.dtype)], axis=-1)  # [B, 2H]
-            xg_b = out @ wib.T + bib  # full-T backward gates (all other paths)
             if impl == "pallas":
                 from multimodalsignal_tpu.ops.gru_pallas import gru_sequence_pallas
 
