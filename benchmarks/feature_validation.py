@@ -173,12 +173,16 @@ def validate() -> dict:
 
 ORACLE = Path(__file__).parent / "golden" / "nk_hrv_oracle.json"
 
-# Committed PCHIP power-recovery factors of the tachogram interpolant at the
-# oracle's two modulation frequencies (pinned with the measurement fixture in
+# PCHIP power-recovery factors of the tachogram interpolant at the oracle's
+# two modulation frequencies — canonical values live next to the estimator
+# (data/features.py PCHIP_POWER_RECOVERY; pinned by
 # tests/test_features.py::test_rr_band_powers_sinusoidal_tachogram). The
 # attenuation is a property of PCHIP-interpolating a ~1.25 Hz beat-sampled
 # process and is shared by neurokit2's estimator (same interpolant family).
-PCHIP_FACTOR = {0.095: 0.9941, 0.30: 0.8408}
+from multimodalsignal_tpu.data.features import PCHIP_POWER_RECOVERY
+
+PCHIP_FACTOR = {0.095: PCHIP_POWER_RECOVERY["lf"],
+                0.30: PCHIP_POWER_RECOVERY["hf"]}
 
 
 def validate_nk_oracle() -> dict:

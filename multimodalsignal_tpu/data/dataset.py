@@ -51,6 +51,24 @@ def read_preprocess_meta(data_path: Path | str) -> dict | None:
     return json.loads(path.read_text())
 
 
+def experiment_preprocess_meta(cfg) -> dict | None:
+    """The preprocess meta a run dir should embed in config.json: the raw
+    (or raw-align, for hybrid) windowing contract, merged — for hybrid runs
+    — with the feature tree's extractor version stamp so deployment can
+    detect train/serve feature skew (data/features.py
+    FEATURE_EXTRACTOR_VERSION)."""
+    hybrid = cfg.model.name == "hybrid_cnn_gru"
+    raw_path = cfg.raw_align_path if hybrid else cfg.data_path
+    meta = read_preprocess_meta(raw_path)
+    if hybrid:
+        feat_meta = read_preprocess_meta(cfg.feature_path) or {}
+        if "feature_extractor_version" in feat_meta:
+            meta = dict(meta or {})
+            meta["feature_extractor_version"] = (
+                feat_meta["feature_extractor_version"])
+    return meta
+
+
 def load_subject_windows(data_path: Path | str, sid: str):
     """Load one subject's (X [N, T, C_all], y_raw [N]) or None if missing
     (reference dataset.py:20-22 warns and skips)."""

@@ -39,6 +39,25 @@ def _butter_sos(order: int, lo: float, hi: float | None, btype: str, fs: float):
     wn = lo if hi is None else (lo, hi)
     return sps.butter(order, wn, btype=btype, fs=fs, output="sos")
 
+# Bump whenever the feature MATH changes (same input -> different values):
+#   1 = linear tachogram interpolation for HRV spectra (rounds 1-4)
+#   2 = PCHIP tachogram interpolation, the neurokit2 family (round 5)
+# The preprocessor stamps this into the feature target's
+# _preprocess_meta.json; hybrid runs embed it in config.json, and the
+# deployment paths (Predictor / ExportedPredictor) refuse checkpoints whose
+# cached training features came from a different extractor — otherwise
+# live serving-time features silently skew against what the model learned.
+FEATURE_EXTRACTOR_VERSION = 2
+
+# Measured power recovery of the PCHIP tachogram interpolant (the estimator
+# _rr_band_powers uses) for a sinusoidal RR modulation sampled by ~1.25 Hz
+# beats: at ~0.1 Hz (LF band) and 0.3 Hz (HF band). Single source of truth
+# for the validation fixtures — pinned by
+# tests/test_features.py::test_rr_band_powers_sinusoidal_tachogram and
+# consumed by benchmarks/feature_validation.py; re-measure there if the
+# interpolant or Welch settings ever change.
+PCHIP_POWER_RECOVERY = {"lf": 0.9941, "hf": 0.8408}
+
 FEATURE_NAMES = (
     "HRV_RMSSD",
     "HRV_SDNN",

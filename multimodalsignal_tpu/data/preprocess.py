@@ -233,6 +233,18 @@ def run_preprocessing(cfg: PreprocessConfig, workers: int = 0) -> None:
             }, indent=2) + "\n")
         else:
             _write_names(d / "_feature_names.txt", FEATURE_NAMES)
+            # Train/serve skew guard: stamp which extractor produced these
+            # cached features so hybrid deployments can verify the live
+            # extractor matches (data/features.py FEATURE_EXTRACTOR_VERSION).
+            import json
+
+            from multimodalsignal_tpu.data.features import (
+                FEATURE_EXTRACTOR_VERSION,
+            )
+
+            (d / "_preprocess_meta.json").write_text(json.dumps({
+                "feature_extractor_version": FEATURE_EXTRACTOR_VERSION,
+            }, indent=2) + "\n")
 
     jobs = [(sid, cfg, str(output)) for sid in cfg.subjects]
     if workers and workers > 1 and len(jobs) > 1:

@@ -38,7 +38,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Version 1: single-array input (raw models). Version 2: hybrid artifacts,
+# whose exported callable takes a (raw, feat) pytree — a different INPUT
+# CONTRACT, so hybrid exports stamp 2 and a version-1-only loader rejects
+# them at load() with a clear error instead of a cryptic jax.export arity
+# TypeError at call time. Raw artifacts keep stamping 1 (older loaders can
+# still run them).
 ARTIFACT_VERSION = 1
+HYBRID_ARTIFACT_VERSION = 2
+SUPPORTED_ARTIFACT_VERSIONS = (1, 2)
+
+
+def _feature_version() -> int:
+    from multimodalsignal_tpu.data.features import FEATURE_EXTRACTOR_VERSION
+
+    return FEATURE_EXTRACTOR_VERSION
 
 
 def export_predictor(predictor, out_path: Path | str,
@@ -92,12 +106,18 @@ def export_predictor(predictor, out_path: Path | str,
     blob = exported.serialize()
 
     meta = {
-        "artifact_version": ARTIFACT_VERSION,
+        "artifact_version": (HYBRID_ARTIFACT_VERSION if feature_names
+                             else ARTIFACT_VERSION),
         "model": cfg.model.name,
         "classification_mode": cfg.classification_mode,
         "class_names": list(CLASS_NAMES[cfg.classification_mode]),
         "channels": list(cfg.channels_to_use),
         "feature_names": feature_names,  # non-empty iff hybrid
+        # Hybrid: which extractor math the artifact's features assume; the
+        # loader computes features live and must match (predict.py
+        # _check_feature_extractor_version rationale).
+        "feature_extractor_version": _feature_version() if feature_names
+                                     else None,
         "window_shape": [c, t],
         "window_sec": predictor.window_sec,
         "stride_sec": predictor.stride_sec,
@@ -132,10 +152,19 @@ class ExportedPredictor:
         with zipfile.ZipFile(Path(path)) as zf:
             blob = zf.read("model.stablehlo")
             meta = json.loads(zf.read("meta.json"))
-        if meta.get("artifact_version") != ARTIFACT_VERSION:
+        if meta.get("artifact_version") not in SUPPORTED_ARTIFACT_VERSIONS:
             raise ValueError(
-                f"artifact version {meta.get('artifact_version')} "
-                f"!= supported {ARTIFACT_VERSION}")
+                f"artifact version {meta.get('artifact_version')} not in "
+                f"supported {SUPPORTED_ARTIFACT_VERSIONS} — the artifact "
+                f"needs a newer package")
+        fv = meta.get("feature_extractor_version")
+        if meta.get("feature_names") and fv is not None \
+                and int(fv) != _feature_version():
+            raise ValueError(
+                f"hybrid artifact assumes feature extractor v{fv}; this "
+                f"package computes v{_feature_version()} features live — "
+                "re-export from a retrained checkpoint or use the matching "
+                "package version")
         return cls(jexport.deserialize(blob), meta)
 
     def predict_windows(self, x, batch_size: int | None = None

@@ -28,8 +28,8 @@ from multimodalsignal_tpu.config import (
 from multimodalsignal_tpu.data.dataset import (
     build_dataset,
     build_hybrid_dataset,
+    experiment_preprocess_meta,
     read_channel_names,
-    read_preprocess_meta,
 )
 from multimodalsignal_tpu.experiments.splits import loso_folds
 from multimodalsignal_tpu.models import build_model
@@ -112,7 +112,7 @@ def run_simple_experiment(
     hybrid = cfg.model.name == "hybrid_cnn_gru"
     raw_path = cfg.raw_align_path if hybrid else cfg.data_path
     save_config(cfg, run_output_dir / "config.json",
-                extra={"preprocess_meta": read_preprocess_meta(raw_path)})
+                extra={"preprocess_meta": experiment_preprocess_meta(cfg)})
     if all_channel_names is None:
         all_channel_names = read_channel_names(raw_path)
 

@@ -156,16 +156,26 @@ def recording_to_windows(
     window_samples = window_sec * target_fs
     stride_samples = stride_sec * target_fs
     starts = window_starts(0, full.shape[0], window_samples, stride_samples)
+    x = _normalized_raw_windows(full, names, channels_to_use, normalization,
+                                starts, window_samples)
+    return x, starts / target_fs
+
+
+def _normalized_raw_windows(full, names, channels_to_use, normalization,
+                            starts, window_samples) -> np.ndarray:
+    """Shared raw serving stream: select channels, window, normalize with
+    the recording's own per-subject statistics, -> [N, C, T]. ONE
+    implementation for both raw and hybrid serving so the pipelines cannot
+    desynchronize (test_recording_to_hybrid_windows_contract pins parity).
+    Per-recording normalization = the training scheme's per-subject
+    statistics (all windows; no labels exist at inference time)."""
     ch_idx = [names.index(ch) for ch in channels_to_use]
     win = sliding_windows(full[:, ch_idx].astype(np.float32), starts,
                           window_samples)  # [N, T, C]
-    # Per-recording normalization = the training scheme's per-subject
-    # statistics (all windows; no labels exist at inference time).
     y_dummy = np.ones(len(win), dtype=np.int64)
     scheme = _inference_norm_scheme(normalization)
     win = normalize_subject(win, y_dummy, list(channels_to_use), scheme)
-    x = np.ascontiguousarray(win.transpose(0, 2, 1))  # [N, C, T]
-    return x, starts / target_fs
+    return np.ascontiguousarray(win.transpose(0, 2, 1))  # [N, C, T]
 
 
 def recording_to_hybrid_windows(
@@ -204,13 +214,10 @@ def recording_to_hybrid_windows(
     stride_samples = stride_sec * target_fs
     starts = window_starts(0, full.shape[0], window_samples, stride_samples)
 
-    ch_idx = [names.index(ch) for ch in channels_to_use]
-    win = sliding_windows(full[:, ch_idx].astype(np.float32), starts,
-                          window_samples)
-    y_dummy = np.ones(len(win), dtype=np.int64)
+    x_raw = _normalized_raw_windows(full, names, channels_to_use,
+                                    normalization, starts, window_samples)
+    y_dummy = np.ones(len(x_raw), dtype=np.int64)
     scheme = _inference_norm_scheme(normalization)
-    win = normalize_subject(win, y_dummy, list(channels_to_use), scheme)
-    x_raw = np.ascontiguousarray(win.transpose(0, 2, 1))  # [N, C, T]
 
     # Feature stream: float64 unnormalized sensor windows, exactly like the
     # offline feature target (preprocess.py gathers the 4 feature channels
@@ -256,6 +263,33 @@ def _init_sample(cfg: ExperimentConfig):
     if cfg.model.name == "hybrid_cnn_gru":
         return raw, jnp.zeros((1, len(hybrid_feature_names(cfg))), jnp.float32)
     return raw
+
+
+def _check_feature_extractor_version(meta: dict) -> None:
+    """Train/serve skew guard for hybrid checkpoints: the cached features
+    the model trained on must come from the SAME extractor math as the
+    features this package computes live at inference (data/features.py
+    FEATURE_EXTRACTOR_VERSION; e.g. round 5 moved HRV spectra from linear
+    to PCHIP tachogram interpolation — ~24% larger HF power)."""
+    from multimodalsignal_tpu.data.features import FEATURE_EXTRACTOR_VERSION
+
+    trained = meta.get("feature_extractor_version")
+    if trained is None:
+        import warnings
+
+        warnings.warn(
+            "hybrid checkpoint carries no feature_extractor_version stamp "
+            "(preprocessed before the stamp existed); live features are "
+            f"v{FEATURE_EXTRACTOR_VERSION} and may be skewed vs training — "
+            "re-preprocess the feature target and retrain to clear this",
+            stacklevel=3)
+    elif int(trained) != FEATURE_EXTRACTOR_VERSION:
+        raise ValueError(
+            f"hybrid checkpoint was trained on feature extractor "
+            f"v{trained} but this package computes v"
+            f"{FEATURE_EXTRACTOR_VERSION} features live at inference; "
+            "re-preprocess the feature target and retrain (or serve with "
+            "the matching package version)")
 
 
 class Predictor:
@@ -304,6 +338,8 @@ class Predictor:
                                     _init_sample(cfg), tx)
         state = restore_state(checkpoint, template)
         meta = preprocess_meta or {}
+        if cfg.model.name == "hybrid_cnn_gru":
+            _check_feature_extractor_version(meta)
         return cls(
             cfg, state,
             original_fs=int(meta.get("original_fs", 700)),

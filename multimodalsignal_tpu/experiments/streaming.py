@@ -40,7 +40,8 @@ streaming, not implementation shortcuts):
   fully contained in the calibration span (the batch path uses all-recording
   feature stats, which are not causally computable — the same stats-source
   divergence the raw stream already documents), so `calib_sec` must cover at
-  least one full window.
+  least two full windows (window_sec + stride_sec) — one lone window would
+  freeze a zero feature std.
 """
 
 from __future__ import annotations
@@ -93,11 +94,16 @@ class StreamingClassifier:
                 if s not in self.channel_names]
             self._feat_cols = [self.feed_channels.index(s)
                                for s in FEATURE_SENSOR_CHANNELS]
-            if calib_sec < window_sec:
+            if calib_sec < window_sec + stride_sec:
+                # One lone calibration window would freeze feats.std() == 0
+                # (z-scores divided by the bare 1e-3 epsilon -> ~1000x
+                # inflated model inputs); require >= 2 complete windows so
+                # the frozen std reflects actual feature variance.
                 raise ValueError(
-                    f"hybrid streaming needs calib_sec >= window_sec "
-                    f"({window_sec}) to freeze feature statistics on at "
-                    f"least one complete window; got {calib_sec}")
+                    f"hybrid streaming needs calib_sec >= window_sec + "
+                    f"stride_sec ({window_sec + stride_sec}) to freeze "
+                    f"feature statistics over at least two complete "
+                    f"windows; got {calib_sec}")
         else:
             self.feature_names = ()
             self.feed_channels = self.channel_names

@@ -50,8 +50,8 @@ from multimodalsignal_tpu.data.dataset import (
     pack_corpus,
     pack_corpus_from_pickles,
     pack_hybrid_corpus,
+    experiment_preprocess_meta,
     read_channel_names,
-    read_preprocess_meta,
 )
 from multimodalsignal_tpu.experiments.loso import FoldResult, write_cv_summary
 from multimodalsignal_tpu.experiments.splits import loso_folds
@@ -617,10 +617,17 @@ def run_fold_sweep(
     # resume is only live when there is BOTH a run_dir and an existing
     # sweep_resume checkpoint in it (the restore below is gated the same
     # way); a config harmlessly carrying resume=True with no run_dir or a
-    # fresh run dir must not reject segmented dispatch. Every process sees
-    # the same (shared) run dir, so the existence check agrees.
+    # fresh run dir must not reject segmented dispatch. The existence
+    # check is a filesystem read, so multi-process it must AGREE before it
+    # can gate a raise: with divergent (non-shared) run dirs one process
+    # raising here while the rest proceed into the mesh collectives would
+    # hang the job instead of failing loudly.
     resume_live = (cfg.trainer.resume and run_dir is not None
                    and (Path(run_dir) / _RESUME_STATE).exists())
+    if dispatch == "segmented" and cfg.trainer.resume and run_dir is not None:
+        # (per_epoch runs the same agreement check on `exists` below.)
+        multihost.assert_agreement(int(resume_live),
+                                   "segmented-guard resume existence")
     if dispatch == "segmented" and (checkpoint_every > 0
                                     or resume_live
                                     or abort_after_epoch is not None):
@@ -787,7 +794,7 @@ def stage_corpus(cfg: ExperimentConfig, run_output_dir: Path,
     raw_path = cfg.raw_align_path if hybrid else cfg.data_path
     if multihost.is_primary():
         save_config(cfg, run_output_dir / "config.json",
-                    extra={"preprocess_meta": read_preprocess_meta(raw_path),
+                    extra={"preprocess_meta": experiment_preprocess_meta(cfg),
                            **extra})
     if all_channel_names is None:
         all_channel_names = read_channel_names(raw_path)

@@ -71,12 +71,11 @@ from pathlib import Path
 
 import numpy as np
 
-from multimodalsignal_tpu.experiments.predict import CLASS_NAMES, Predictor
-
-
-def _batch_windows(x) -> int:
-    """Window count of a raw [N, C, T] batch or a hybrid (raw, feat) pair."""
-    return len(x[0]) if isinstance(x, (tuple, list)) else len(x)
+from multimodalsignal_tpu.experiments.predict import (
+    CLASS_NAMES,
+    Predictor,
+    _num_windows as _batch_windows,  # one pytree-aware count, no drift
+)
 
 
 def _concat_batches(parts):

@@ -5,6 +5,7 @@ import pytest
 
 from multimodalsignal_tpu.data.features import (
     FEATURE_NAMES,
+    PCHIP_POWER_RECOVERY,
     detect_r_peaks,
     extract_handcrafted_features,
     resp_features,
@@ -115,7 +116,8 @@ def test_rmssd_sdnn_exact_on_constructed_rr():
 
 
 @pytest.mark.parametrize("f_mod,band,pchip_factor",
-                         [(0.1, "lf", 0.9941), (0.3, "hf", 0.8408)])
+                         [(0.1, "lf", PCHIP_POWER_RECOVERY["lf"]),
+                          (0.3, "hf", PCHIP_POWER_RECOVERY["hf"])])
 def test_rr_band_powers_sinusoidal_tachogram(f_mod, band, pchip_factor):
     """RR modulated at f_mod with amplitude A carries A^2/2 ms^2 of power in
     exactly one band: 0.1 Hz -> LF (0.04-0.15), 0.3 Hz -> HF (0.15-0.4).
@@ -270,8 +272,9 @@ def test_nk_oracle_parity():
     assert oracle["fs"] == FS
     n = oracle["window_s"] * FS
     # PCHIP tachogram-interpolant power transfer at the oracle's modulation
-    # frequencies (same constants as the sinusoidal-tachogram test above).
-    factor = {0.095: 0.9941, 0.30: 0.8408}
+    # frequencies (canonical constants: data/features.py).
+    factor = {0.095: PCHIP_POWER_RECOVERY["lf"],
+              0.30: PCHIP_POWER_RECOVERY["hf"]}
 
     for name, p in oracle["profiles"].items():
         peaks = np.asarray(p["peaks"], dtype=np.int64)

@@ -126,10 +126,21 @@ def test_hybrid_export_roundtrip(hybrid_predictor, wesad_root, tmp_path):
         export_predictor,
     )
 
+    from multimodalsignal_tpu.data.features import FEATURE_EXTRACTOR_VERSION
+    from multimodalsignal_tpu.experiments.export import (
+        HYBRID_ARTIFACT_VERSION,
+    )
+
     out = tmp_path / "hybrid.mms"
     meta = export_predictor(hybrid_predictor, out, platforms=("cpu",))
     assert meta["model"] == "hybrid_cnn_gru"
     assert meta["feature_names"] == list(FEATURE_NAMES)
+    # A hybrid artifact's input contract is a (raw, feat) pytree, not the
+    # version-1 single array: it must stamp the bumped version (a v1-only
+    # loader then rejects it cleanly at load()) and carry the feature
+    # extractor version (train/serve skew guard).
+    assert meta["artifact_version"] == HYBRID_ARTIFACT_VERSION
+    assert meta["feature_extractor_version"] == FEATURE_EXTRACTOR_VERSION
 
     ep = ExportedPredictor.load(out)
     assert ep.is_hybrid
@@ -219,7 +230,7 @@ def _hybrid_feed(total_sec=380, seed=0):
 
 
 def test_hybrid_feed_channels(hybrid_predictor):
-    sc = StreamingClassifier.for_predictor(hybrid_predictor, calib_sec=60)
+    sc = StreamingClassifier.for_predictor(hybrid_predictor, calib_sec=70)
     assert sc.feed_channels == ["chest_ECG", "chest_EDA", "chest_EMG",
                                 "chest_Resp"]
     with pytest.raises(ValueError, match="channels"):
@@ -229,6 +240,11 @@ def test_hybrid_feed_channels(hybrid_predictor):
 def test_hybrid_stream_requires_calibration_window(hybrid_predictor):
     with pytest.raises(ValueError, match="calib_sec >= window_sec"):
         StreamingClassifier.for_predictor(hybrid_predictor, calib_sec=30)
+    # Exactly one window (calib == window_sec) must ALSO be rejected: its
+    # frozen feature std would be identically zero -> 1e-3 epsilon division
+    # inflating every post-calibration feature z-score ~1000x.
+    with pytest.raises(ValueError, match="two complete windows"):
+        StreamingClassifier.for_predictor(hybrid_predictor, calib_sec=60)
 
 
 def test_hybrid_stream_matches_batch_with_same_stats(hybrid_predictor):
@@ -278,10 +294,10 @@ def test_hybrid_stream_matches_batch_with_same_stats(hybrid_predictor):
 
 def test_hybrid_stream_chunking_invariance(hybrid_predictor):
     feed = _hybrid_feed(total_sec=200, seed=3)
-    one = StreamingClassifier.for_predictor(hybrid_predictor, calib_sec=60)
+    one = StreamingClassifier.for_predictor(hybrid_predictor, calib_sec=70)
     ev_one = one.push(feed) + one.flush()
 
-    dribble = StreamingClassifier.for_predictor(hybrid_predictor, calib_sec=60)
+    dribble = StreamingClassifier.for_predictor(hybrid_predictor, calib_sec=70)
     ev_dots = []
     for i in range(0, len(feed), 1111):
         ev_dots += dribble.push(feed[i : i + 1111])
@@ -402,3 +418,47 @@ def test_hybrid_run_stream_matches_batch_predictor(hybrid_run, wesad_root):
     want = predictor.predict_windows((x, feat))
     np.testing.assert_allclose(np.stack([e.probs for e in events]), want,
                                atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# feature-extractor version guard (train/serve skew)
+# ---------------------------------------------------------------------------
+
+def test_feature_extractor_version_guard():
+    """Hybrid checkpoints record which extractor produced their training
+    features; serving with a different live extractor must refuse (the
+    round-5 linear->PCHIP change shifts HF power ~24% — silent skew)."""
+    from multimodalsignal_tpu.data.features import FEATURE_EXTRACTOR_VERSION
+    from multimodalsignal_tpu.experiments.predict import (
+        _check_feature_extractor_version,
+    )
+
+    _check_feature_extractor_version(
+        {"feature_extractor_version": FEATURE_EXTRACTOR_VERSION})  # matches
+    with pytest.raises(ValueError, match="feature extractor"):
+        _check_feature_extractor_version(
+            {"feature_extractor_version": FEATURE_EXTRACTOR_VERSION - 1})
+    with pytest.warns(UserWarning, match="feature_extractor_version"):
+        _check_feature_extractor_version({})  # pre-stamp run: warn only
+
+
+def test_preprocess_meta_stamps_feature_version(preprocessed):
+    """The offline feature target carries the extractor stamp, and hybrid
+    run configs embed it (the chain Predictor.from_files verifies)."""
+    import json as _json
+
+    from multimodalsignal_tpu.data.dataset import experiment_preprocess_meta
+    from multimodalsignal_tpu.data.features import FEATURE_EXTRACTOR_VERSION
+
+    meta = _json.loads(
+        (preprocessed / "chest_feature" / "_preprocess_meta.json").read_text())
+    assert meta["feature_extractor_version"] == FEATURE_EXTRACTOR_VERSION
+
+    cfg = ExperimentConfig(
+        channels_to_use=CHANNELS,
+        model=ModelConfig(name="hybrid_cnn_gru"),
+        raw_align_path=str(preprocessed / "chest_raw_align"),
+        feature_path=str(preprocessed / "chest_feature"),
+    )
+    merged = experiment_preprocess_meta(cfg)
+    assert merged["feature_extractor_version"] == FEATURE_EXTRACTOR_VERSION
