@@ -9,6 +9,15 @@ wait for the end: this module classifies windows as they complete.
         for ev in sc.push(chunk): # channels in cfg.channels_to_use order
             print(ev.t_start_sec, ev.label, ev.probs)
 
+CLI (`mms-stream`): replay a raw recording as a live feed — by default
+through the causal native-rate front-end, i.e. the path a real deployment
+takes — or tail a text feed on stdin, emitting one JSON event line per
+completed window:
+
+    python -m multimodalsignal_tpu.experiments.streaming \
+        --run-dir output/run_x --fold S2 --pkl WESAD/S2/S2.pkl \
+        --out events.jsonl
+
 Semantics (all documented divergences from the batch path are inherent to
 streaming, not implementation shortcuts):
 
@@ -273,3 +282,225 @@ class StreamingClassifier:
                 probs=np.asarray(p),
             ))
         return events
+
+
+# ------------------------------------------------------------------------
+# CLI: replay a recording (or tail a live text feed) through the streaming
+# classifier, emitting one JSON event line per completed window.
+# ------------------------------------------------------------------------
+
+def _event_json(ev: StreamEvent) -> str:
+    import json
+
+    return json.dumps({
+        "index": ev.index,
+        "t_start_sec": round(float(ev.t_start_sec), 3),
+        "t_end_sec": round(float(ev.t_end_sec), 3),
+        "label": ev.label,
+        "probs": [round(float(p), 6) for p in ev.probs],
+    })
+
+
+def _native_chest_grid(pkl_path):
+    """Raw WESAD pickle -> the UNRESAMPLED [n, 8] chest grid at the device's
+    native rate + its channel names. The native-feed replay source: columns
+    are pushed through the stream's causal polyphase front-end exactly as a
+    live chest acquisition would be (no whole-signal FFT resample)."""
+    from multimodalsignal_tpu.config import ALL_CHANNEL_NAMES, CHEST_SENSORS
+    from multimodalsignal_tpu.data.wesad_io import chest_signals, load_pkl
+
+    chest = chest_signals(load_pkl(pkl_path))
+    cols = []
+    for sensor in CHEST_SENSORS:
+        sig = np.asarray(chest[sensor], dtype=np.float32)
+        if sig.ndim == 1:
+            sig = sig[:, None]
+        cols.append(sig)
+    n = min(len(c) for c in cols)  # guard ragged sensor lengths
+    return np.concatenate([c[:n] for c in cols], axis=1), list(ALL_CHANNEL_NAMES)
+
+
+def _pkl_feed(pkl_path, sc: StreamingClassifier, feed: str, original_fs: int):
+    """Build the replay feed matrix [n, C_feed] for a StreamingClassifier.
+
+    feed='native': the raw chest grid at original_fs (the stream's causal
+    resampler front-end does the 700->128 Hz conversion — the faithful
+    live-deployment path; wrist channels have per-sensor rates and no native
+    feed, use 'resampled'). feed='resampled': the batch pipeline's
+    FFT-resampled grid at target_fs (bit-parity with `mms-predict` windowing,
+    modulo the calibration-vs-all-recording stats divergence the module
+    docstring documents)."""
+    if feed == "native":
+        grid, names = _native_chest_grid(pkl_path)
+        missing = [ch for ch in sc.feed_channels if ch not in names]
+        if missing:
+            raise SystemExit(
+                f"native feed is chest-only (wrist sensors each record at "
+                f"their own rate); {missing} unavailable — rerun with "
+                f"--feed resampled")
+        feed_fs = original_fs
+    else:
+        from multimodalsignal_tpu.experiments.predict import _recording_grid
+
+        grid, names = _recording_grid(pkl_path, list(sc.feed_channels),
+                                      original_fs, sc.target_fs)
+        feed_fs = sc.target_fs
+    idx = [names.index(ch) for ch in sc.feed_channels]
+    return np.ascontiguousarray(grid[:, idx], dtype=np.float32), feed_fs
+
+
+def _stdin_rows(fh, n_channels: int):
+    """Parse a text feed: one sample per line, comma/whitespace-separated
+    floats in feed-channel order; blank lines and '#' comments skipped."""
+    for lineno, line in enumerate(fh, 1):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        vals = line.replace(",", " ").split()
+        if len(vals) != n_channels:
+            raise SystemExit(
+                f"stdin line {lineno}: expected {n_channels} values "
+                f"(feed channels), got {len(vals)}")
+        yield [float(v) for v in vals]
+
+
+def main(argv=None) -> None:
+    import argparse
+    import sys
+    import time
+
+    p = argparse.ArgumentParser(
+        description="Stream a recording (or a live stdin feed) through the "
+                    "online classifier; one JSON event line per completed "
+                    "window.")
+    p.add_argument("--checkpoint", help="best_model.msgpack (with --config)")
+    p.add_argument("--config", help="the run's config.json (with --checkpoint)")
+    p.add_argument("--artifact",
+                   help="exported .mms artifact (experiments/export.py); "
+                        "replaces --checkpoint/--config")
+    p.add_argument("--run-dir",
+                   help="run directory — streams through the vmapped fold "
+                        "ensemble (or one fold via --fold); replaces "
+                        "--checkpoint/--config")
+    p.add_argument("--fold", default="all",
+                   help="with --run-dir: a subject id, or 'all' (default)")
+    p.add_argument("--pkl", help="replay this raw WESAD S*.pkl as the feed")
+    p.add_argument("--feed", choices=("native", "resampled"), default="native",
+                   help="with --pkl: 'native' pushes the raw chest grid at "
+                        "the recording rate through the causal resampler "
+                        "front-end (the live-deployment path, default); "
+                        "'resampled' pushes the batch pipeline's FFT-"
+                        "resampled grid at the model rate")
+    p.add_argument("--stdin", action="store_true",
+                   help="read the feed from stdin instead: one sample per "
+                        "line, comma/whitespace-separated floats in the "
+                        "feed-channel order printed at startup")
+    p.add_argument("--input-fs", type=int, default=None,
+                   help="with --stdin: the feed's native rate (engages the "
+                        "causal resampler); default = the model rate")
+    p.add_argument("--chunk-sec", type=float, default=1.0,
+                   help="replay granularity: samples are pushed in chunks "
+                        "of this many seconds (events still fire once per "
+                        "completed stride)")
+    p.add_argument("--calib-sec", type=float, default=120.0,
+                   help="calibration span that freezes normalization stats "
+                        "(see module docstring)")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--out", default=None,
+                   help="append JSONL events here (default stdout)")
+    args = p.parse_args(argv)
+
+    if sum(map(bool, (args.artifact, args.run_dir,
+                      args.checkpoint or args.config))) > 1:
+        p.error("--artifact, --run-dir and --checkpoint/--config are "
+                "mutually exclusive")
+    if bool(args.pkl) == bool(args.stdin):
+        p.error("provide exactly one feed source: --pkl or --stdin")
+    from multimodalsignal_tpu.experiments.predict import Predictor
+
+    if args.artifact:
+        from multimodalsignal_tpu.experiments.export import ExportedPredictor
+
+        predictor = ExportedPredictor.load(args.artifact)
+    elif args.run_dir:
+        from multimodalsignal_tpu.experiments.predict import EnsemblePredictor
+
+        predictor = EnsemblePredictor.from_run(args.run_dir, args.fold)
+    elif args.checkpoint and args.config:
+        predictor = Predictor.from_files(args.checkpoint, args.config)
+    else:
+        p.error("provide --artifact, --run-dir, or --checkpoint with --config")
+
+    meta = getattr(predictor, "meta", None)
+    original_fs = int(meta["original_fs"]) if meta is not None \
+        else int(predictor.original_fs)
+
+    if args.pkl:
+        # Geometry probe first (cheap, no model work) so the feed matrix and
+        # the classifier agree on channel order, then one classifier reused
+        # for the whole replay.
+        sc = StreamingClassifier.for_predictor(
+            predictor, calib_sec=args.calib_sec, batch_size=args.batch_size)
+        feed, feed_fs = _pkl_feed(args.pkl, sc, args.feed, original_fs)
+        if feed_fs != sc.target_fs:
+            sc = StreamingClassifier.for_predictor(
+                predictor, calib_sec=args.calib_sec,
+                batch_size=args.batch_size, input_fs=feed_fs)
+        chunks = (feed[i : i + max(1, int(round(args.chunk_sec * feed_fs)))]
+                  for i in range(0, len(feed),
+                                 max(1, int(round(args.chunk_sec * feed_fs)))))
+        feed_sec = len(feed) / feed_fs
+    else:
+        sc = StreamingClassifier.for_predictor(
+            predictor, calib_sec=args.calib_sec, batch_size=args.batch_size,
+            input_fs=args.input_fs)
+
+        def _stdin_chunks():
+            step = max(1, int(round(args.chunk_sec
+                                    * (args.input_fs or sc.target_fs))))
+            buf = []
+            for row in _stdin_rows(sys.stdin, len(sc.feed_channels)):
+                buf.append(row)
+                if len(buf) >= step:
+                    yield np.asarray(buf, dtype=np.float32)
+                    buf = []
+            if buf:
+                yield np.asarray(buf, dtype=np.float32)
+
+        chunks = _stdin_chunks()
+        feed_sec = None
+
+    print(f"feed channels (in order): {list(sc.feed_channels)}",
+          file=sys.stderr, flush=True)
+    sink = open(args.out, "a") if args.out else sys.stdout
+    n_events = 0
+    counts: dict[str, int] = {}
+    t0 = time.perf_counter()
+    try:
+        for chunk in chunks:
+            for ev in sc.push(chunk):
+                sink.write(_event_json(ev) + "\n")
+                n_events += 1
+                counts[ev.label] = counts.get(ev.label, 0) + 1
+            if n_events:
+                sink.flush()
+        for ev in sc.flush():
+            sink.write(_event_json(ev) + "\n")
+            n_events += 1
+            counts[ev.label] = counts.get(ev.label, 0) + 1
+        sink.flush()
+    finally:
+        if args.out:
+            sink.close()
+    wall = time.perf_counter() - t0
+    summary = f"{n_events} events in {wall:.1f}s"
+    if feed_sec is not None and wall > 0:
+        summary += (f" ({feed_sec:.0f}s of signal -> "
+                    f"{feed_sec / wall:.0f}x realtime)")
+    for name in sorted(counts):
+        summary += f" | {name}: {counts[name]}"
+    print(summary, file=sys.stderr, flush=True)
+
+
+if __name__ == "__main__":
+    main()

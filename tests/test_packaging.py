@@ -39,9 +39,9 @@ print("PACKAGING_JSON:" + json.dumps(results))
 def test_console_entry_points_resolve_and_help():
     scripts = tomllib.loads(
         (REPO / "pyproject.toml").read_text())["project"]["scripts"]
-    # The five documented commands must all be declared.
+    # The six documented commands must all be declared.
     assert set(scripts) == {"mms-train", "mms-preprocess", "mms-serve",
-                            "mms-predict", "mms-export"}, scripts
+                            "mms-predict", "mms-export", "mms-stream"}, scripts
 
     proc = subprocess.run(
         [sys.executable, "-c", _DRIVER, json.dumps(scripts)],
