@@ -124,6 +124,43 @@ def test_stream_cli_stdin(ckpt_dir, tmp_path, monkeypatch):
     assert [e["index"] for e in events] == [0, 1, 2]
 
 
+def test_stream_cli_hybrid_native_replay(tmp_path, wesad_root):
+    """A hybrid checkpoint streams through the CLI: the native chest grid
+    carries the feature sensors the model needs beyond its own channels,
+    and per-window features are extracted live."""
+    from multimodalsignal_tpu.data.features import (
+        FEATURE_EXTRACTOR_VERSION,
+        FEATURE_NAMES,
+    )
+
+    cfg = ExperimentConfig(
+        channels_to_use=CHANNELS,
+        model=ModelConfig(name="hybrid_cnn_gru", cnn_out_channels=4,
+                          gru_hidden_size=4, gru_num_layers=1),
+    )
+    model = build_model(cfg.model, cfg.num_classes)
+    sample = (np.zeros((1, len(CHANNELS), 128 * 60), np.float32),
+              np.zeros((1, len(FEATURE_NAMES)), np.float32))
+    state = init_train_state(model, jax.random.PRNGKey(5), sample,
+                             make_optimizer(1e-3, 0.0))
+    save_state(tmp_path / "best_model.msgpack", state)
+    save_config(cfg, tmp_path / "config.json",
+                extra={"preprocess_meta": {
+                    "feature_extractor_version": FEATURE_EXTRACTOR_VERSION}})
+    out = tmp_path / "events.jsonl"
+    stream_main([
+        "--checkpoint", str(tmp_path / "best_model.msgpack"),
+        "--config", str(tmp_path / "config.json"),
+        "--pkl", str(wesad_root / "S2" / "S2.pkl"),
+        "--calib-sec", "70", "--chunk-sec", "20",
+        "--out", str(out),
+    ])
+    events = _events(out)
+    assert len(events) > 3
+    assert [e["index"] for e in events] == list(range(len(events)))
+    assert all(len(e["probs"]) == 2 for e in events)
+
+
 def test_stream_cli_source_validation(ckpt_dir, wesad_root):
     with pytest.raises(SystemExit):
         stream_main([
