@@ -305,7 +305,9 @@ def _native_chest_grid(pkl_path):
     """Raw WESAD pickle -> the UNRESAMPLED [n, 8] chest grid at the device's
     native rate + its channel names. The native-feed replay source: columns
     are pushed through the stream's causal polyphase front-end exactly as a
-    live chest acquisition would be (no whole-signal FFT resample)."""
+    live chest acquisition would be (no whole-signal FFT resample). Channel
+    assembly order matches offline preprocessing (reference
+    preprocess.py:128-129,143-153: ACC x/y/z then ECG/EDA/EMG/Resp/Temp)."""
     from multimodalsignal_tpu.config import ALL_CHANNEL_NAMES, CHEST_SENSORS
     from multimodalsignal_tpu.data.wesad_io import chest_signals, load_pkl
 
