@@ -124,6 +124,31 @@ def test_stream_cli_stdin(ckpt_dir, tmp_path, monkeypatch):
     assert [e["index"] for e in events] == [0, 1, 2]
 
 
+def test_stream_cli_artifact_backend(ckpt_dir, wesad_root, tmp_path):
+    """--artifact streams an exported .mms through the same CLI and agrees
+    with the checkpoint backend on the same replay (export parity 1e-5)."""
+    from multimodalsignal_tpu.experiments.export import export_predictor
+
+    predictor = Predictor.from_files(ckpt_dir / "best_model.msgpack",
+                                     ckpt_dir / "config.json")
+    mms = tmp_path / "model.mms"
+    export_predictor(predictor, mms, platforms=("cpu",))
+
+    pkl = str(wesad_root / "S4" / "S4.pkl")
+    common = ["--pkl", pkl, "--calib-sec", "70", "--chunk-sec", "10"]
+    out_a = tmp_path / "artifact.jsonl"
+    stream_main(["--artifact", str(mms), "--out", str(out_a)] + common)
+    out_c = tmp_path / "checkpoint.jsonl"
+    stream_main(["--checkpoint", str(ckpt_dir / "best_model.msgpack"),
+                 "--config", str(ckpt_dir / "config.json"),
+                 "--out", str(out_c)] + common)
+    ev_a, ev_c = _events(out_a), _events(out_c)
+    assert len(ev_a) == len(ev_c) > 0
+    np.testing.assert_allclose(np.array([e["probs"] for e in ev_a]),
+                               np.array([e["probs"] for e in ev_c]),
+                               atol=1e-4)
+
+
 def test_stream_cli_hybrid_native_replay(tmp_path, wesad_root):
     """A hybrid checkpoint streams through the CLI: the native chest grid
     carries the feature sensors the model needs beyond its own channels,
