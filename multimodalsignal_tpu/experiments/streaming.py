@@ -157,9 +157,18 @@ class StreamingClassifier:
                        meta["window_sec"], meta["stride_sec"],
                        calib_sec=calib_sec, batch_size=batch_size,
                        input_fs=input_fs)
+        if hasattr(predictor, "cfg"):
+            return cls(
+                predictor, list(predictor.cfg.channels_to_use),
+                predictor.target_fs, predictor.window_sec,
+                predictor.stride_sec, calib_sec=calib_sec,
+                batch_size=batch_size, input_fs=input_fs,
+            )
+        # HierarchicalPredictor surface: no single cfg (two stages), but the
+        # union channel order + geometry travel on the composed predictor.
         return cls(
-            predictor, list(predictor.cfg.channels_to_use),
-            predictor.target_fs, predictor.window_sec, predictor.stride_sec,
+            predictor, list(predictor.channels), predictor.target_fs,
+            predictor.window_sec, predictor.stride_sec,
             calib_sec=calib_sec, batch_size=batch_size, input_fs=input_fs,
         )
 
@@ -271,14 +280,23 @@ class StreamingClassifier:
             feats = self._window_features(stacked)
             x_feat = ((feats - f_mean) / f_std).astype(np.float32)
             x = (x, x_feat)
-        probs = self.predictor.predict_windows(x, self.batch_size)
+        # Hierarchical predictors label by the reference's hard M1 gate
+        # (main.py:241-244), which can differ from the product-prob argmax
+        # near the M1 boundary — stream events must carry the gated label,
+        # exactly like the batch predict_recording path.
+        if hasattr(self.predictor, "predict_windows_labeled"):
+            probs, labels = self.predictor.predict_windows_labeled(
+                x, self.batch_size)
+        else:
+            probs = self.predictor.predict_windows(x, self.batch_size)
+            labels = np.asarray(probs).argmax(axis=-1)
         for j, p in enumerate(probs):
             idx = first + j
             s_sec = idx * self.stride_samples / self.target_fs
             events.append(StreamEvent(
                 index=idx, t_start_sec=s_sec,
                 t_end_sec=s_sec + self.window_samples / self.target_fs,
-                label=self.class_names[int(p.argmax())],
+                label=self.class_names[int(labels[j])],
                 probs=np.asarray(p),
             ))
         return events
@@ -425,9 +443,22 @@ def main(argv=None) -> None:
 
         predictor = ExportedPredictor.load(args.artifact)
     elif args.run_dir:
-        from multimodalsignal_tpu.experiments.predict import EnsemblePredictor
+        import json
+        from pathlib import Path
 
-        predictor = EnsemblePredictor.from_run(args.run_dir, args.fold)
+        from multimodalsignal_tpu.experiments.predict import (
+            EnsemblePredictor,
+            HierarchicalPredictor,
+        )
+
+        raw = json.loads((Path(args.run_dir) / "config.json").read_text())
+        if "m1_channels" in raw:  # hierarchical run: composed two-stage
+            if args.fold == "all":
+                p.error("hierarchical runs need --fold <subject> "
+                        "(per-fold M1+M2 composition)")
+            predictor = HierarchicalPredictor.from_run(args.run_dir, args.fold)
+        else:
+            predictor = EnsemblePredictor.from_run(args.run_dir, args.fold)
     elif args.checkpoint and args.config:
         predictor = Predictor.from_files(args.checkpoint, args.config)
     else:
